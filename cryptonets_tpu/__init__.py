@@ -1,0 +1,24 @@
+"""cryptonets_tpu — a TPU-native homomorphic-encryption inference framework.
+
+A from-scratch re-design of the capabilities of microsoft/CryptoNets
+(C#/SEAL 3.2) for TPUs: the BFV scheme is implemented as JAX/Pallas
+kernels over uint32 RNS limb tensors, the CryptoNets/LoLa neural layer
+zoo composes into single jitted XLA programs, and scaling happens over
+`jax.sharding` device meshes rather than thread pools.
+
+Layering (mirrors reference layers L0-L4, see SURVEY.md):
+  crypto/   - L0: BFV scheme: modular arithmetic, NTT, keygen, encrypt,
+              homomorphic ops (reference: Microsoft SEAL 3.2, native NuGet)
+  kernels/  - Pallas TPU kernels for the hot paths (NTT, key-switch, modmul)
+  api/      - L1: scale-tracked HE vector/matrix API + plaintext Raw backend
+              (reference: `HE Wrapper/`)
+  nn/       - L2: layer zoo, convolution index algebra, readers
+              (reference: `NeuralNetworks/`)
+  models/   - L3: CryptoNets-MNIST, LoLa variants, CIFAR, Caltech-101
+  data/     - L4: dataset preprocessing and weight loading
+  parallel/ - device-mesh sharding of ciphertext batches / RNS limbs
+  runtime/  - native C++ host runtime (encoder NTT over 64-bit plain
+              moduli, CRT composition, IO)
+"""
+
+__version__ = "0.1.0"
