@@ -1,0 +1,135 @@
+"""Negacyclic NTT/iNTT over uint32 RNS limb tensors.
+
+Longa-Naehrig merged-psi butterflies (the same factorization SEAL's native
+`seal::util::ntt_negacyclic_harvey` uses behind every `Evaluator` call,
+SURVEY.md section 2.1): forward Cooley-Tukey takes standard order to
+bit-reversed, inverse Gentleman-Sande takes bit-reversed back to standard,
+with the 2n-th root psi folded into the twiddles so no separate pre/post
+scaling pass is needed.
+
+Layout: x has shape [..., L, N] (L = RNS limbs, N = ring degree). Each
+stage is a fully-vectorized reshape + Shoup constant multiply; the whole
+transform is log2(N) such stages, which XLA fuses aggressively. A Pallas
+MXU formulation (4-step NTT as exact f32 matmuls) lives in
+cryptonets_tpu/kernels/pallas_ntt.py and is dispatched for large batches.
+
+All twiddles carry Shoup companions, so a butterfly costs 6 hardware
+multiplies; everything stays uint32-exact.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from .hostmath import bit_reverse, modinv
+from .modular import add_mod, mul_const_mod, sub_mod
+from .primes import min_primitive_2n_root
+
+
+@lru_cache(maxsize=None)
+def _tables_one(n: int, q: int):
+    """Host: (psi_brev, ipsi_brev, n_inv) power tables for one modulus."""
+    logn = n.bit_length() - 1
+    psi = min_primitive_2n_root(q, n)
+    ipsi = modinv(psi, q)
+    # powers[i] = psi^i, cheap iterative build
+    pow_f = np.empty(n, dtype=np.uint64)
+    pow_i = np.empty(n, dtype=np.uint64)
+    cf = ci = 1
+    for i in range(n):
+        pow_f[i] = cf
+        pow_i[i] = ci
+        cf = cf * psi % q
+        ci = ci * ipsi % q
+    rev = np.array([bit_reverse(i, logn) for i in range(n)])
+    return pow_f[rev], pow_i[rev], modinv(n, q)
+
+
+def _shoup_np(w: np.ndarray, q: int) -> np.ndarray:
+    return ((w.astype(object) << 32) // q).astype(np.uint64).astype(np.uint32)
+
+
+class NTTContext:
+    """Precomputed twiddle tables for a (ring degree, modulus chain) pair.
+
+    Tables are stacked over the limb axis so one jitted transform covers
+    every RNS limb; the limb axis is also the natural sharding axis.
+    """
+
+    def __init__(self, n: int, moduli: tuple[int, ...]):
+        assert n & (n - 1) == 0, "ring degree must be a power of two"
+        self.n = n
+        self.logn = n.bit_length() - 1
+        self.moduli = tuple(int(q) for q in moduli)
+        L = len(self.moduli)
+
+        psi = np.empty((L, n), np.uint32)
+        psi_sh = np.empty((L, n), np.uint32)
+        ipsi = np.empty((L, n), np.uint32)
+        ipsi_sh = np.empty((L, n), np.uint32)
+        ninv = np.empty((L, 1), np.uint32)
+        ninv_sh = np.empty((L, 1), np.uint32)
+        for i, q in enumerate(self.moduli):
+            f, inv, n_inv = _tables_one(n, q)
+            psi[i] = f.astype(np.uint32)
+            psi_sh[i] = _shoup_np(f, q)
+            ipsi[i] = inv.astype(np.uint32)
+            ipsi_sh[i] = _shoup_np(inv, q)
+            ninv[i, 0] = n_inv
+            ninv_sh[i, 0] = ((n_inv << 32) // q)
+        self.psi = jnp.asarray(psi)
+        self.psi_sh = jnp.asarray(psi_sh)
+        self.ipsi = jnp.asarray(ipsi)
+        self.ipsi_sh = jnp.asarray(ipsi_sh)
+        self.ninv = jnp.asarray(ninv)
+        self.ninv_sh = jnp.asarray(ninv_sh)
+        self.q = jnp.asarray(
+            np.array(self.moduli, np.uint32).reshape(L, 1)
+        )
+
+        # jit once per input shape: a transform is log2(N) fused stages,
+        # eager per-stage dispatch would recompile every reshape.
+        self.forward = jax.jit(self._forward)
+        self.inverse = jax.jit(self._inverse)
+
+    # -- forward: standard order in, bit-reversed out ----------------------
+    def _forward(self, x):
+        """NTT along the last axis of x: [..., L, N] uint32."""
+        n, q = self.n, self.q
+        for m in (1 << s for s in range(self.logn)):
+            t = n // (2 * m)
+            v = x.reshape(*x.shape[:-1], m, 2, t)
+            u, w_in = v[..., 0, :], v[..., 1, :]
+            tw = self.psi[:, m : 2 * m].reshape(-1, m, 1)
+            tw_sh = self.psi_sh[:, m : 2 * m].reshape(-1, m, 1)
+            wv = mul_const_mod(w_in, tw, tw_sh, q[..., None])
+            x = jnp.stack(
+                [add_mod(u, wv, q[..., None]), sub_mod(u, wv, q[..., None])],
+                axis=-2,
+            ).reshape(*x.shape)
+        return x
+
+    # -- inverse: bit-reversed in, standard order out ----------------------
+    def _inverse(self, x):
+        n, q = self.n, self.q
+        for h in (n >> (s + 1) for s in range(self.logn)):
+            # h blocks of paired halves of length t = n/(2h)
+            t = n // (2 * h)
+            v = x.reshape(*x.shape[:-1], h, 2, t)
+            u, w_in = v[..., 0, :], v[..., 1, :]
+            tw = self.ipsi[:, h : 2 * h].reshape(-1, h, 1)
+            tw_sh = self.ipsi_sh[:, h : 2 * h].reshape(-1, h, 1)
+            x = jnp.stack(
+                [
+                    add_mod(u, w_in, q[..., None]),
+                    mul_const_mod(
+                        sub_mod(u, w_in, q[..., None]), tw, tw_sh, q[..., None]
+                    ),
+                ],
+                axis=-2,
+            ).reshape(*x.shape)
+        return mul_const_mod(x, self.ninv, self.ninv_sh, q)
