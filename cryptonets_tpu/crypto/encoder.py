@@ -1,0 +1,122 @@
+"""Batch encoder: Z_t^n SIMD slots <-> plaintext polynomial (ref BatchEncoder).
+
+Implements SEAL's slot layout — a 2 x (n/2) matrix whose rows rotate under
+the Galois element 3^steps and swap under 2n-1 (`AtomicSealBfvVector.cs:
+1114-1170`; the packing layers Duplicate/Interleave/SumAllSlots depend on
+this exact structure, SURVEY.md "hard parts" #4).
+
+Encoding runs CLIENT-side (host): a length-n negacyclic NTT over Z_t.
+For t < 2**31 we use vectorized numpy uint64 (exact: products < 2**62).
+For the reference's large plain primes (up to ~40 bits, e.g. CryptoNets'
+549764251649) the same algorithm runs over object-dtype exact ints, with
+a native C++ fast path in runtime/ when built.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from .hostmath import bit_reverse, modinv
+from .primes import min_primitive_2n_root
+
+
+@lru_cache(maxsize=None)
+def _host_tables(n: int, t: int):
+    """psi-power tables (bit-reversed) + slot index map for modulus t."""
+    logn = n.bit_length() - 1
+    psi = min_primitive_2n_root(t, n)
+    ipsi = modinv(psi, t)
+    pf = np.empty(n, dtype=object)
+    pi = np.empty(n, dtype=object)
+    cf = ci = 1
+    for i in range(n):
+        pf[i] = cf
+        pi[i] = ci
+        cf = cf * psi % t
+        ci = ci * ipsi % t
+    rev = np.array([bit_reverse(i, logn) for i in range(n)])
+    # SEAL matrix_reps_index_map: slot i of row r -> coefficient position
+    m = 2 * n
+    row = n // 2
+    pos = 1
+    index_map = np.empty(n, np.int64)
+    for i in range(row):
+        index_map[i] = bit_reverse((pos - 1) >> 1, logn)
+        index_map[i + row] = bit_reverse((m - pos - 1) >> 1, logn)
+        pos = pos * 3 % m
+    return pf[rev], pi[rev], modinv(n, t), index_map
+
+
+def _ntt_host(x, table, t):
+    """Forward negacyclic NTT (standard in, bit-reversed out), vectorized
+    numpy; dtype is uint64 (t < 2**31) or object (exact big ints)."""
+    n = x.shape[-1]
+    logn = n.bit_length() - 1
+    for s in range(logn):
+        mblk = 1 << s
+        half = n >> (s + 1)
+        v = x.reshape(*x.shape[:-1], mblk, 2, half)
+        u, w = v[..., 0, :], v[..., 1, :]
+        tw = table[mblk : 2 * mblk].reshape(mblk, 1)
+        wv = (w * tw) % t
+        # (u + t - wv): avoid uint64 underflow; u, wv < t < 2**31
+        v2 = np.stack([(u + wv) % t, (u + t - wv) % t], axis=-2)
+        x = v2.reshape(*x.shape)
+    return x
+
+
+def _intt_host(x, table, n_inv, t):
+    """Inverse (bit-reversed in, standard out)."""
+    n = x.shape[-1]
+    logn = n.bit_length() - 1
+    for s in range(logn):
+        hblk = n >> (s + 1)
+        half = n // (2 * hblk)
+        v = x.reshape(*x.shape[:-1], hblk, 2, half)
+        u, w = v[..., 0, :], v[..., 1, :]
+        tw = table[hblk : 2 * hblk].reshape(hblk, 1)
+        v2 = np.stack([(u + w) % t, (((u + t - w) % t) * tw) % t], axis=-2)
+        x = v2.reshape(*x.shape)
+    return (x * n_inv) % t
+
+
+class BatchEncoder:
+    """values[0:n/2] = row 0, values[n/2:n] = row 1 (SEAL slot order)."""
+
+    def __init__(self, n: int, t: int):
+        if (t - 1) % (2 * n) != 0:
+            raise ValueError(
+                f"plain modulus {t} does not support batching for n={n}"
+            )
+        self.n, self.t = n, t
+        self.slot_count = n
+        pf, pi, n_inv, index_map = _host_tables(n, t)
+        self._small = t < (1 << 31)
+        if self._small:
+            self.pf = pf.astype(np.uint64)
+            self.pi = pi.astype(np.uint64)
+        else:
+            self.pf, self.pi = pf, pi
+        self.n_inv = n_inv
+        self.index_map = index_map
+
+    def _cast(self, x):
+        return x.astype(np.uint64) if self._small else x.astype(object)
+
+    def encode(self, values) -> np.ndarray:
+        """values (ints, len <= n, signed ok) -> poly coeffs int64/object [n]."""
+        v = np.asarray(values, dtype=object) % self.t
+        buf = np.zeros(self.n, dtype=np.uint64 if self._small else object)
+        buf[self.index_map[: len(v)]] = (
+            v.astype(np.uint64) if self._small else v
+        )
+        coeffs = _intt_host(self._cast(buf), self.pi, self.n_inv, self.t)
+        return coeffs.astype(np.int64) if self._small else coeffs
+
+    def decode(self, coeffs) -> np.ndarray:
+        """poly coeffs -> slot values, object ints in [0, t)."""
+        c = self._cast(np.asarray(coeffs, dtype=object) % self.t)
+        evals = _ntt_host(c, self.pf, self.t)
+        return np.asarray(evals, dtype=object)[self.index_map]
