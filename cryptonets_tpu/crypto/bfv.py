@@ -14,8 +14,8 @@ Design points that differ deliberately from SEAL (documented TPU choices):
     (the reference generates an independent SEAL context per plain prime,
     `EncryptedSealBfvVector.cs:92-102`; sharing s keeps the plain-prime
     dimension a pure vmap axis).
-  * Core ops are UNBATCHED ([size, L, N] tensors); batching is jax.vmap
-    at the API layer — the reference's thread pools become vectorization.
+  * Every op accepts arbitrary leading batch axes ([..., size, L, N]);
+    the reference's thread pools become pure vectorization.
 
 Everything here is jit-compatible; ciphertexts are NamedTuple pytrees.
 """
@@ -378,25 +378,26 @@ class BFV:
         """Public-key encryption of plaintext residues [k, N]."""
         p = self.p
         c = p.chain_q
+        lead = pt_residues.shape[:-2]
         k1, k2, k3 = jax.random.split(rng_key, 3)
         u_hat = p.ntt_q.forward(
-            sampling.small_to_residues(sampling.ternary(k1, (p.n,)), c.q)
+            sampling.small_to_residues(sampling.ternary(k1, lead + (p.n,)), c.q)
         )
-        e1 = sampling.small_to_residues(sampling.gauss(k2, (p.n,)), c.q)
-        e2 = sampling.small_to_residues(sampling.gauss(k3, (p.n,)), c.q)
+        e1 = sampling.small_to_residues(sampling.gauss(k2, lead + (p.n,)), c.q)
+        e2 = sampling.small_to_residues(sampling.gauss(k3, lead + (p.n,)), c.q)
         c0 = p.ntt_q.inverse(c.mont_mul(u_hat, keys.p0_hat_mont))
         c1 = p.ntt_q.inverse(c.mont_mul(u_hat, keys.p1_hat_mont))
         dm = mul_const_mod(pt_residues, *p.delta_col, c.q)
         c0 = add_mod(add_mod(c0, e1, c.q), dm, c.q)
         c1 = add_mod(c1, e2, c.q)
-        return Ciphertext(jnp.stack([c0, c1]))
+        return Ciphertext(jnp.stack([c0, c1], axis=-3))
 
     def encrypt_zero_symmetric_free(self, pt_residues) -> Ciphertext:
         """A 'transparent' no-noise encoding (c1 = 0): for plaintext data
         flowing through encrypted networks on the Raw path; not secure."""
         p = self.p
         dm = mul_const_mod(pt_residues, *p.delta_col, p.chain_q.q)
-        return Ciphertext(jnp.stack([dm, jnp.zeros_like(dm)]))
+        return Ciphertext(jnp.stack([dm, jnp.zeros_like(dm)], axis=-3))
 
     # --------------------------------------------------------------- decrypt
     def raw_decrypt_residues(self, keys: KeySet, ct: Ciphertext):
@@ -404,38 +405,45 @@ class BFV:
         p = self.p
         c = p.chain_q
         d = ct.data
-        acc = c.mont_mul(p.ntt_q.forward(d[1]), keys.s_hat_mont)
+        acc = c.mont_mul(p.ntt_q.forward(d[..., 1, :, :]), keys.s_hat_mont)
         if ct.size == 3:
             acc = add_mod(
                 acc,
-                c.mont_mul(p.ntt_q.forward(d[2]), keys.s2_hat_mont),
+                c.mont_mul(p.ntt_q.forward(d[..., 2, :, :]), keys.s2_hat_mont),
                 c.q,
             )
-        return add_mod(d[0], p.ntt_q.inverse(acc), c.q)
+        return add_mod(d[..., 0, :, :], p.ntt_q.inverse(acc), c.q)
 
     def decrypt(self, keys: KeySet, ct: Ciphertext) -> np.ndarray:
         """Full decrypt -> plaintext coeffs as Python-int numpy [N] in [0,t)."""
         p = self.p
         limbs = np.asarray(self.raw_decrypt_residues(keys, ct)).astype(object)
-        out = np.empty(p.n, dtype=object)
+        lead = limbs.shape[:-2]
+        flat = limbs.reshape(-1, p.k, p.n)
+        out = np.empty((flat.shape[0], p.n), dtype=object)
         t, q = p.t, p.q_big
         crt = p.crt_q
-        for idx in range(p.n):
-            w = crt.compose_centered([int(limbs[l, idx]) for l in range(p.k)])
-            out[idx] = ((2 * t * w + q) // (2 * q)) % t
-        return out
+        for b in range(flat.shape[0]):
+            for idx in range(p.n):
+                w = crt.compose_centered(
+                    [int(flat[b, l, idx]) for l in range(p.k)]
+                )
+                out[b, idx] = ((2 * t * w + q) // (2 * q)) % t
+        return out.reshape(*lead, p.n)
 
     # -------------------------------------------------------------- add/sub
     def _match_size(self, a: Ciphertext, b: Ciphertext):
         da, db = a.data, b.data
         if da.shape[-3] < db.shape[-3]:
             pad = jnp.zeros(
-                (db.shape[-3] - da.shape[-3],) + da.shape[-2:], da.dtype
+                da.shape[:-3] + (db.shape[-3] - da.shape[-3],) + da.shape[-2:],
+                da.dtype,
             )
             da = jnp.concatenate([da, pad], axis=-3)
         elif db.shape[-3] < da.shape[-3]:
             pad = jnp.zeros(
-                (da.shape[-3] - db.shape[-3],) + db.shape[-2:], db.dtype
+                db.shape[:-3] + (da.shape[-3] - db.shape[-3],) + db.shape[-2:],
+                db.dtype,
             )
             db = jnp.concatenate([db, pad], axis=-3)
         return da, db
@@ -453,12 +461,16 @@ class BFV:
 
     def add_plain(self, a: Ciphertext, pt_residues) -> Ciphertext:
         dm = mul_const_mod(pt_residues, *self.p.delta_col, self.p.chain_q.q)
-        d = a.data.at[0].set(add_mod(a.data[0], dm, self.p.chain_q.q))
+        d = a.data.at[..., 0, :, :].set(
+            add_mod(a.data[..., 0, :, :], dm, self.p.chain_q.q)
+        )
         return Ciphertext(d)
 
     def sub_plain(self, a: Ciphertext, pt_residues) -> Ciphertext:
         dm = mul_const_mod(pt_residues, *self.p.delta_col, self.p.chain_q.q)
-        d = a.data.at[0].set(sub_mod(a.data[0], dm, self.p.chain_q.q))
+        d = a.data.at[..., 0, :, :].set(
+            sub_mod(a.data[..., 0, :, :], dm, self.p.chain_q.q)
+        )
         return Ciphertext(d)
 
     # ---------------------------------------------------------- plain mult
@@ -527,14 +539,14 @@ class BFV:
         def tensor(x, y, ntt, chain):
             xh = ntt.forward(x)
             yh = chain.to_mont(ntt.forward(y))
-            c0 = chain.mont_mul(xh[0], yh[0])
+            x0, x1 = xh[..., 0, :, :], xh[..., 1, :, :]
+            y0, y1 = yh[..., 0, :, :], yh[..., 1, :, :]
+            c0 = chain.mont_mul(x0, y0)
             c1 = add_mod(
-                chain.mont_mul(xh[0], yh[1]),
-                chain.mont_mul(xh[1], yh[0]),
-                chain.q,
+                chain.mont_mul(x0, y1), chain.mont_mul(x1, y0), chain.q
             )
-            c2 = chain.mont_mul(xh[1], yh[1])
-            return ntt.inverse(jnp.stack([c0, c1, c2]))
+            c2 = chain.mont_mul(x1, y1)
+            return ntt.inverse(jnp.stack([c0, c1, c2], axis=-3))
 
         c_q = tensor(a.data, b.data, p.ntt_q, cq)
         c_bsk = tensor(a_bsk, b_bsk, p.ntt_bsk, cb)
@@ -549,7 +561,7 @@ class BFV:
         )
 
         # Shenoy-Kumaresan back-conversion Bsk -> q
-        y_B, y_msk = fl[..., : p.k, :], fl[..., p.k, :]
+        y_B, y_msk = fl[..., : p.k, :], fl[..., p.k, :]  # [..., s, k, N], [..., s, N]
         z = mul_const_mod(y_B, *p.inv_punct_B, p.chain_B.q)
         conv_q = self._fast_bconv(z, p.punct_B_to_q, cq)
         conv_msk = self._fast_bconv(z, p.punct_B_to_msk, p.msk_chain)
@@ -582,8 +594,10 @@ class BFV:
         ds = []
         for i in range(p.k):
             for j in range(p.digits_per_limb):
-                d = (poly[i] >> (p.dbc * j)) & mask
-                ds.append(jnp.broadcast_to(d[None, :], (p.k, p.n)))
+                d = (poly[..., i, :] >> (p.dbc * j)) & mask  # [..., N]
+                ds.append(
+                    jnp.broadcast_to(d[..., None, :], poly.shape)
+                )
         return jnp.stack(ds)
 
     def _switch_key_inner(self, poly, keys: SwitchKeys):
@@ -592,17 +606,23 @@ class BFV:
         (ref `AtomicSealBfvVector` relin/rotate call sites)."""
         p = self.p
         cq = p.chain_q
-        dhat = p.ntt_q.forward(self._decompose_digits(poly))  # [kD, k, N]
-        t0 = mod_sum(cq.mont_mul(dhat, keys.k0), cq.q, axis=0)
-        t1 = mod_sum(cq.mont_mul(dhat, keys.k1), cq.q, axis=0)
-        return p.ntt_q.inverse(jnp.stack([t0, t1]))
+        dhat = p.ntt_q.forward(self._decompose_digits(poly))  # [kD, ..., k, N]
+        extra = dhat.ndim - 3  # leading batch dims of poly
+        kshape = (keys.k0.shape[0],) + (1,) * extra + keys.k0.shape[1:]
+        k0 = keys.k0.reshape(kshape)
+        k1 = keys.k1.reshape(kshape)
+        t0 = mod_sum(cq.mont_mul(dhat, k0), cq.q, axis=0)
+        t1 = mod_sum(cq.mont_mul(dhat, k1), cq.q, axis=0)
+        return p.ntt_q.inverse(jnp.stack([t0, t1], axis=-3))
 
     def relinearize(self, ct: Ciphertext, keys: KeySet) -> Ciphertext:
         if ct.size == 2:
             return ct
         p = self.p
-        ks = self._switch_key_inner(ct.data[2], keys.relin)
-        return Ciphertext(add_mod(ct.data[:2], ks, p.chain_q.q))
+        ks = self._switch_key_inner(ct.data[..., 2, :, :], keys.relin)
+        return Ciphertext(
+            add_mod(ct.data[..., :2, :, :], ks, p.chain_q.q)
+        )
 
     # ------------------------------------------------------------ rotations
     def apply_galois(self, ct: Ciphertext, g: int, keys: KeySet) -> Ciphertext:
@@ -610,9 +630,9 @@ class BFV:
         src, negm = _automorphism_tables(p.n, g)
         d = ct.data[..., src]
         d = jnp.where(negm, neg_mod(d, p.chain_q.q), d)
-        ks = self._switch_key_inner(d[1], keys.galois[g])
-        c0 = add_mod(d[0], ks[0], p.chain_q.q)
-        return Ciphertext(jnp.stack([c0, ks[1]]))
+        ks = self._switch_key_inner(d[..., 1, :, :], keys.galois[g])
+        c0 = add_mod(d[..., 0, :, :], ks[..., 0, :, :], p.chain_q.q)
+        return Ciphertext(jnp.stack([c0, ks[..., 1, :, :]], axis=-3))
 
     def rotate_rows(self, ct: Ciphertext, steps: int, keys: KeySet) -> Ciphertext:
         """Rotate the two (n/2)-slot rows by `steps` (ref RotateRows).
