@@ -1,0 +1,322 @@
+"""Factories: parameter/key owners and vector/matrix constructors.
+
+Reference counterparts: `EncryptedSealBfvFactory` (CRT multi-plain-prime
+production path, `IFactory.cs:240-410`) and `RawFactory` (plaintext oracle,
+`IFactory.cs:138-238`).  TPU-native differences:
+
+  * One shared key set across all plain primes (keys depend only on the
+    coefficient chain; the reference regenerates per prime).
+  * No environment pooling — ops are pure functions; the plain-prime axis
+    is a leading tensor axis batched in one kernel launch instead of one
+    .NET Task per prime (`EncryptedSealBfvVector.cs:225-236`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..crypto.bfv import BFV, BFVParams
+from ..crypto.encoder import BatchEncoder
+from ..crypto.hostmath import CRT, center
+from ..crypto.primes import default_coeff_modulus_128
+
+# Reference default factory: 5 plain primes, n=4096 (`IFactory.cs:244-253`).
+DEFAULT_PLAIN_PRIMES = (40961, 65537, 114689, 147457, 188417)
+
+
+class CrtBfvFactory:
+    """The production factory: CRT "double decker" over plain primes.
+
+    Each value is split into residues mod each plain prime; each residue
+    stream is an independent BFV pipeline over the SAME coefficient chain
+    and key set, stacked on a leading P axis.
+    """
+
+    def __init__(
+        self,
+        plain_primes=DEFAULT_PLAIN_PRIMES,
+        n: int = 4096,
+        coeff_count: int | None = None,
+        coeff_modulus=None,
+        dbc: int = 16,
+        seed: int = 0,
+        rot_steps=(),
+    ):
+        self.n = n
+        self.plain_primes = tuple(int(t) for t in plain_primes)
+        self.P = len(self.plain_primes)
+        chain = tuple(coeff_modulus) if coeff_modulus else default_coeff_modulus_128(n)
+        if coeff_count is not None:
+            chain = chain[:coeff_count]
+        self.coeff_modulus = chain
+        self.params = [
+            BFVParams(n, t, coeff_modulus=chain, dbc=dbc, seed=seed)
+            for t in self.plain_primes
+        ]
+        self.bfv = [BFV(p) for p in self.params]
+        # Keys are plain-modulus independent: generate once, share across P.
+        self.keys = self.bfv[0].keygen(seed=seed, rot_steps=rot_steps)
+        self.encoders = [BatchEncoder(n, t) for t in self.plain_primes]
+        self.plain_crt = CRT(list(self.plain_primes))
+        self._rng_key = jax.random.key(seed ^ 0x5EED)
+        self._mask_cache: dict = {}
+        self._plain_cache: dict = {}
+
+    # -------------------------------------------------------------- helpers
+    @property
+    def slot_count(self) -> int:
+        return self.n
+
+    @property
+    def block_size(self) -> int:
+        return self.n
+
+    def fresh_key(self):
+        self._rng_key, k = jax.random.split(self._rng_key)
+        return k
+
+    def split_big_numbers(self, values) -> list[np.ndarray]:
+        """Signed ints -> per-prime residue arrays (ref SplitBigNumbers,
+        `EncryptedSealBfvVector.cs:352-379`)."""
+        v = np.asarray(values, dtype=object)
+        return [(v % t).astype(np.int64) for t in self.plain_primes]
+
+    def join_split_numbers(self, residues) -> np.ndarray:
+        """Per-prime slot values -> centered big ints (ref JoinSplitNumbers,
+        `EncryptedSealBfvVector.cs:381-411`)."""
+        out = np.empty(len(residues[0]), dtype=object)
+        for i in range(len(out)):
+            out[i] = self.plain_crt.compose_centered(
+                [int(r[i]) for r in residues]
+            )
+        return out
+
+    # ------------------------------------------------- slot-domain encoding
+    def encode_slots_to_residues(self, slots, prime_idx: int) -> np.ndarray:
+        """Slot values (ints mod t) -> coefficient residues [k, N] uint32."""
+        coeffs = self.encoders[prime_idx].encode(slots)
+        return self.params[prime_idx].plain_to_residues(coeffs)
+
+    def encrypt_blocks(self, int_values, dim: int) -> jnp.ndarray:
+        """Signed int slot values (len <= C*n) -> ciphertext data
+        [P, C, 2, k, N]; C = ceil(dim / n)."""
+        n = self.n
+        C = max(1, -(-dim // n))
+        vals = np.zeros(C * n, dtype=object)
+        vv = np.asarray(int_values, dtype=object)
+        vals[: len(vv)] = vv
+        return self._encrypt_slotsets(vals.reshape(C, n))
+
+    def decrypt_blocks(self, data, dim: int) -> np.ndarray:
+        """[P, C, 2|3, k, N] -> centered big-int slot values [dim]."""
+        from ..crypto.bfv import Ciphertext
+
+        per_prime = []
+        for pi in range(self.P):
+            coeffs = self.bfv[pi].decrypt(
+                self.keys, Ciphertext(data[pi])
+            )  # [C, N] object
+            slots = np.concatenate(
+                [self.encoders[pi].decode(coeffs[b]) for b in range(coeffs.shape[0])]
+            )
+            per_prime.append(slots[:dim])
+        return self.join_split_numbers(per_prime)
+
+    # --------------------------------------------- prepared plaintext forms
+    def plain_mult_form(self, int_values, dim: int) -> jnp.ndarray:
+        """Slot values -> NTT+Montgomery plaintext multiplier [P, C, k, N]."""
+        n = self.n
+        C = max(1, -(-dim // n))
+        vals = np.zeros(C * n, dtype=object)
+        vv = np.asarray(int_values, dtype=object)
+        vals[: len(vv)] = vv
+        per_prime = []
+        for pi in range(self.P):
+            res = np.stack(
+                [
+                    self.encode_slots_to_residues(
+                        vals[b * n : (b + 1) * n] % self.plain_primes[pi], pi
+                    )
+                    for b in range(C)
+                ]
+            )
+            per_prime.append(res)
+        res_all = jnp.asarray(np.stack(per_prime).astype(np.uint32))
+        return self.bfv[0].prepare_plain_mult(res_all)
+
+    def plain_add_form(self, int_values, dim: int) -> jnp.ndarray:
+        """Slot values -> coefficient residues [P, C, k, N] for add_plain."""
+        n = self.n
+        C = max(1, -(-dim // n))
+        vals = np.zeros(C * n, dtype=object)
+        vv = np.asarray(int_values, dtype=object)
+        vals[: len(vv)] = vv
+        per_prime = [
+            np.stack(
+                [
+                    self.encode_slots_to_residues(
+                        vals[b * n : (b + 1) * n] % self.plain_primes[pi], pi
+                    )
+                    for b in range(C)
+                ]
+            )
+            for pi in range(self.P)
+        ]
+        return jnp.asarray(np.stack(per_prime).astype(np.uint32))
+
+    # ------------------------------------------- vector/matrix constructors
+    @staticmethod
+    def _scaled_ints(values, scale: float) -> np.ndarray:
+        v = np.asarray(values, dtype=np.float64)
+        return np.array([int(x) for x in np.round(v * scale)], dtype=object)
+
+    def get_plain_vector(self, values, fmt: str = "dense", scale: float = 1.0):
+        from .vector import HEVector
+
+        ints = self._scaled_ints(values, scale)
+        return HEVector(
+            self, values=ints, dim=len(ints), scale=scale, fmt=fmt
+        )
+
+    def get_encrypted_vector(self, values, fmt: str = "dense", scale: float = 1.0):
+        from .vector import HEVector
+
+        ints = self._scaled_ints(values, scale)
+        dim = len(ints)
+        n = self.n
+        if fmt == "sparse":
+            slotsets = np.stack(
+                [np.full(n, v, dtype=object) for v in ints]
+            )
+        else:
+            C = max(1, -(-dim // n))
+            buf = np.zeros(C * n, dtype=object)
+            buf[:dim] = ints
+            slotsets = buf.reshape(C, n)
+        data = self._encrypt_slotsets(slotsets)
+        return HEVector(self, data=data, dim=dim, scale=scale, fmt=fmt)
+
+    def _encrypt_slotsets(self, slotsets: np.ndarray) -> jnp.ndarray:
+        """[C, n] object slot values -> ciphertext data [P, C, 2, k, N]."""
+        per_prime = [
+            np.stack(
+                [
+                    self.encode_slots_to_residues(
+                        row % self.plain_primes[pi], pi
+                    )
+                    for row in slotsets
+                ]
+            )
+            for pi in range(self.P)
+        ]
+        res_all = np.stack(per_prime).astype(np.uint32)
+        # Delta = q//t differs per plain prime: encrypt per prime (P small),
+        # each with its own randomness.
+        return jnp.stack(
+            [
+                self.bfv[pi].encrypt(
+                    self.keys, jnp.asarray(res_all[pi]), self.fresh_key()
+                ).data
+                for pi in range(self.P)
+            ]
+        )
+
+    def get_plain_matrix(self, m, fmt: str = "col", scale: float = 1.0):
+        from .matrix import HEMatrix
+
+        m = np.asarray(m, dtype=np.float64)
+        vecs = m.T if fmt == "col" else m
+        return HEMatrix(
+            self,
+            [self.get_plain_vector(v, "dense", scale) for v in vecs],
+            fmt,
+        )
+
+    def get_encrypted_matrix(self, m, fmt: str = "col", scale: float = 1.0):
+        from .matrix import HEMatrix
+
+        m = np.asarray(m, dtype=np.float64)
+        vecs = m.T if fmt == "col" else m
+        return HEMatrix(
+            self,
+            [self.get_encrypted_vector(v, "dense", scale) for v in vecs],
+            fmt,
+        )
+
+    def get_matrix(self, vectors, fmt: str = "col"):
+        from .matrix import HEMatrix
+
+        return HEMatrix(self, list(vectors), fmt)
+
+    def add_plain_data(self, data, form, sub: bool = False) -> jnp.ndarray:
+        """ct data [P,...] +/- plain residues [P,...]: per-prime Delta."""
+        from ..crypto.bfv import Ciphertext
+
+        out = []
+        for pi in range(self.P):
+            op = self.bfv[pi].sub_plain if sub else self.bfv[pi].add_plain
+            out.append(op(Ciphertext(data[pi]), form[pi]).data)
+        return jnp.stack(out)
+
+    def mask_mult_form(self, lo: int, hi: int) -> jnp.ndarray:
+        """0/1 row-position-range mask (both rows), prepared for multiply.
+        mask[i] = 1 iff lo <= (i mod (n/2)) < hi.  Cached."""
+        key = (lo, hi)
+        if key not in self._mask_cache:
+            row = self.n // 2
+            pos = np.arange(self.n) % row
+            m = ((pos >= lo) & (pos < hi)).astype(np.int64)
+            self._mask_cache[key] = self.plain_mult_form(m, self.n)
+        return self._mask_cache[key]
+
+    def unit_mask_form(self, col: int) -> jnp.ndarray:
+        """Mask selecting exactly flat slot `col` (ForceOutputInColumn)."""
+        key = ("unit", col)
+        if key not in self._mask_cache:
+            m = np.zeros(self.n, np.int64)
+            m[col] = 1
+            self._mask_cache[key] = self.plain_mult_form(m, self.n)
+        return self._mask_cache[key]
+
+
+class RawFactory:
+    """Plaintext-double oracle backend (ref `IFactory.cs:138-238`)."""
+
+    def __init__(self, block_size: int = 8192):
+        self.block_size = block_size
+
+    @property
+    def slot_count(self) -> int:
+        return self.block_size
+
+    @property
+    def n(self) -> int:
+        return self.block_size
+
+    def get_plain_vector(self, values, fmt: str = "dense", scale: float = 1.0):
+        from .raw import RawVector
+
+        v = RawVector(values, scale, self.block_size)
+        v.fmt = fmt
+        return v
+
+    # the raw backend "encrypts" to itself (ref RawFactory)
+    get_encrypted_vector = get_plain_vector
+
+    def get_plain_matrix(self, m, fmt: str = "col", scale: float = 1.0):
+        from .raw import RawMatrix
+
+        return RawMatrix(m, scale, fmt, self.block_size)
+
+    get_encrypted_matrix = get_plain_matrix
+
+    def get_matrix(self, vectors, fmt: str = "col"):
+        from .raw import RawMatrix, RawVector
+
+        arr = np.stack([v.v for v in vectors])
+        m = arr.T if fmt == "col" else arr
+        return RawMatrix.from_scaled(
+            m, vectors[0].scale, fmt, self.block_size
+        )

@@ -1,0 +1,244 @@
+"""HEMatrix: matrix of HE vectors with layout-dependent matvec algorithms
+(ref IMatrix / EncryptedSealBfvMatrix, `EncryptedSealBfvMatrix.cs`).
+
+A matrix is a list of uniform HEVectors — columns (ColumnMajor) or rows
+(RowMajor).  The reference parallelizes per-column/row with thread tasks;
+here the vector stack becomes one leading tensor axis and each algorithm
+is a single batched traced program:
+
+  * ColumnMajor x sparse vector  -> sum_j col_j * v_j  (dense output)
+      (ref DenseMatrixBySparseVectorMultiply, used by conv windows)
+  * RowMajor x dense vector      -> per-row DotProduct (sparse output)
+  * RowMajor + force_dense       -> per-row dot forced into slot r, then
+      tree-added into ONE dense vector (ref `EncryptedSealBfvMatrix.cs:
+      90-120`)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..crypto.bfv import Ciphertext, mod_sum
+from ..crypto.modular import add_mod
+from ..utils.opcount import OPS
+from .vector import DENSE, SPARSE, HEVector
+
+COLUMN_MAJOR = "col"
+ROW_MAJOR = "row"
+
+
+def _sum_slots_data(factory, d, length=None):
+    """Batched SumAllSlots on raw data [..., C, 2|3, k, N] -> [..., 1, s, k, N].
+    Same rotation structure as HEVector.sum_all_slots."""
+    q = factory.bfv[0].p.chain_q.q
+    n = factory.n
+    row = n // 2
+    if d.shape[-4] > 1:
+        OPS.count("add_many", 1)
+        d = mod_sum(d, q, axis=-4)[..., None, :, :, :]
+    full = length is None or length >= row
+    if full:
+        sw = factory.bfv[0].rotate_columns(Ciphertext(d), factory.keys).data
+        OPS.count("rotation", 1)
+        d = add_mod(d, sw, q)
+        length = row
+    acc = d
+    steps = 1
+    while steps < length:
+        rot = factory.bfv[0].rotate_rows(Ciphertext(acc), -steps, factory.keys).data
+        OPS.count("rotation", 1)
+        acc = add_mod(acc, rot, q)
+        steps *= 2
+    return acc
+
+
+class HEMatrix:
+    def __init__(self, factory, vectors: list, fmt: str):
+        assert fmt in (COLUMN_MAJOR, ROW_MAJOR)
+        self.factory = factory
+        self.vectors = list(vectors)
+        self.fmt = fmt
+
+    # ------------------------------------------------------------ properties
+    @property
+    def column_count(self) -> int:
+        if self.fmt == COLUMN_MAJOR:
+            return len(self.vectors)
+        return self.vectors[0].dim
+
+    @property
+    def row_count(self) -> int:
+        if self.fmt == ROW_MAJOR:
+            return len(self.vectors)
+        return self.vectors[0].dim
+
+    @property
+    def scale(self) -> float:
+        return self.vectors[0].scale
+
+    @property
+    def is_encrypted(self) -> bool:
+        return self.vectors[0].is_encrypted
+
+    def register_scale(self, scale: float):
+        for v in self.vectors:
+            v.register_scale(scale)
+        return self
+
+    def get_column(self, i: int) -> HEVector:
+        assert self.fmt == COLUMN_MAJOR
+        return self.vectors[i]
+
+    def get_row(self, i: int) -> HEVector:
+        assert self.fmt == ROW_MAJOR
+        return self.vectors[i]
+
+    def set_column(self, i: int, v: HEVector):
+        assert self.fmt == COLUMN_MAJOR
+        self.vectors[i] = v
+
+    # ------------------------------------------------------- stacked tensors
+    def _stacked_data(self) -> jnp.ndarray:
+        """[P, V, C, s, k, N] — vector index as its own axis."""
+        return jnp.stack([v.data for v in self.vectors], axis=1)
+
+    def _stacked_mult_forms(self) -> jnp.ndarray:
+        """[P, V, C, k, N] for plain matrices."""
+        return jnp.stack([v.mult_form() for v in self.vectors], axis=1)
+
+    # ------------------------------------------------------------------ mul
+    def mul(self, v: HEVector, force_dense: bool = False) -> HEVector:
+        if self.fmt == COLUMN_MAJOR:
+            return self._mul_column_major(v)
+        return self._mul_row_major(v, force_dense)
+
+    def _mul_column_major(self, v: HEVector) -> HEVector:
+        """sum_j col_j * v_j with v sparse of dim == column_count."""
+        ncols = len(self.vectors)
+        assert v.fmt == SPARSE and v.dim == ncols, (v.fmt, v.dim, ncols)
+        f = self.factory
+        q = f.bfv[0].p.chain_q.q
+        col0 = self.vectors[0]
+        out_scale = col0.scale * v.scale
+        if self.is_encrypted and v.is_encrypted:
+            A = self._stacked_data()            # [P, V, C, 2, k, N]
+            B = v.data[:, :, None]              # [P, V, 1, 2, k, N]
+            OPS.count("multiplication", ncols)
+            per = []
+            for pi, bfv in enumerate(f.bfv):
+                prod = bfv.multiply(Ciphertext(A[pi]), Ciphertext(B[pi]))
+                per.append(prod.data)
+            s3 = mod_sum(jnp.stack(per), q, axis=1)  # [P, C, 3, k, N]
+            OPS.count("relinearization", 1)
+            out = f.bfv[0].relinearize(Ciphertext(s3), f.keys).data
+        elif self.is_encrypted:  # plain sparse weights (the conv hot path)
+            A = self._stacked_data()
+            W = v.mult_form()[:, :, None, None]  # [P, V, 1, 1, k, N]
+            OPS.count("plain_multiplication", ncols)
+            prod = f.bfv[0].mul_plain(Ciphertext(A), W).data
+            out = mod_sum(prod, q, axis=1)
+        elif v.is_encrypted:  # plain matrix, encrypted sparse vector
+            W = self._stacked_mult_forms()[:, :, :, None]  # [P, V, C, 1, k, N]
+            B = v.data[:, :, None]                          # [P, V, 1, 2, k, N]
+            OPS.count("plain_multiplication", ncols)
+            prod = f.bfv[0].mul_plain(Ciphertext(B), W).data
+            out = mod_sum(prod, q, axis=1)
+        else:
+            raise ValueError("plain x plain matvec belongs to the Raw backend")
+        return HEVector(
+            f, data=out, dim=col0.dim, scale=out_scale, fmt=DENSE,
+            is_signed=col0.is_signed,
+        )
+
+    def _mul_row_major(self, v: HEVector, force_dense: bool) -> HEVector:
+        """Per-row dot products, batched over the row axis."""
+        nrows = len(self.vectors)
+        row0 = self.vectors[0]
+        assert v.fmt == DENSE and v.dim == row0.dim, (v.dim, row0.dim)
+        f = self.factory
+        q = f.bfv[0].p.chain_q.q
+        out_scale = row0.scale * v.scale
+        if self.is_encrypted and v.is_encrypted:
+            A = self._stacked_data()           # [P, R, C, 2, k, N]
+            B = v.data[:, None]                # [P, 1, C, 2, k, N]
+            OPS.count("multiplication", nrows)
+            OPS.count("relinearization", nrows)
+            per = []
+            for pi, bfv in enumerate(f.bfv):
+                prod = bfv.multiply(Ciphertext(A[pi]), Ciphertext(B[pi]))
+                per.append(bfv.relinearize(prod, f.keys).data)
+            prod = jnp.stack(per)
+        elif self.is_encrypted:
+            A = self._stacked_data()
+            W = v.mult_form()[:, None, :, None]  # [P, 1, C, 1, k, N]
+            OPS.count("plain_multiplication", nrows)
+            prod = f.bfv[0].mul_plain(Ciphertext(A), W).data
+        elif v.is_encrypted:
+            W = self._stacked_mult_forms()[:, :, :, None]  # [P, R, C, 1, k, N]
+            B = v.data[:, None]
+            OPS.count("plain_multiplication", nrows)
+            prod = f.bfv[0].mul_plain(Ciphertext(B), W).data
+        else:
+            raise ValueError("plain x plain matvec belongs to the Raw backend")
+        sums = _sum_slots_data(f, prod)          # [P, R, 1, s, k, N]
+        if not force_dense:
+            out = sums[:, :, 0]                  # [P, R, s, k, N] sparse
+            return HEVector(
+                f, data=out, dim=nrows, scale=out_scale, fmt=SPARSE,
+                is_signed=row0.is_signed,
+            )
+        # force each row's sum into flat slot r, then add rows into one ct
+        masks = jnp.stack(
+            [f.unit_mask_form(r) for r in range(nrows)], axis=1
+        )  # [P, R, 1, k, N]
+        OPS.count("plain_multiplication", nrows)
+        masked = f.bfv[0].mul_plain(
+            Ciphertext(sums), masks[:, :, :, None]
+        ).data
+        out = mod_sum(masked, q, axis=1)         # [P, 1, s, k, N]
+        return HEVector(
+            f, data=out, dim=nrows, scale=out_scale, fmt=DENSE,
+            is_signed=row0.is_signed,
+        )
+
+    # ------------------------------------------------------- elementwise ops
+    def add(self, other: "HEMatrix") -> "HEMatrix":
+        assert self.fmt == other.fmt and len(self.vectors) == len(other.vectors)
+        return HEMatrix(
+            self.factory,
+            [a.add(b) for a, b in zip(self.vectors, other.vectors)],
+            self.fmt,
+        )
+
+    def elementwise_multiply(self, other: "HEMatrix") -> "HEMatrix":
+        assert self.fmt == other.fmt and len(self.vectors) == len(other.vectors)
+        return HEMatrix(
+            self.factory,
+            [
+                a.pointwise_multiply(b)
+                for a, b in zip(self.vectors, other.vectors)
+            ],
+            self.fmt,
+        )
+
+    # ----------------------------------------------------------- conversions
+    def convert_to_column_vector(self) -> HEVector:
+        """Stack all vectors into one long dense vector (ref
+        `EncryptedSealBfvMatrix.cs:215-219`)."""
+        return HEVector.stack(self.vectors)
+
+    def interleave(self, shift: int) -> HEVector:
+        return HEVector.interleave(self.vectors, shift)
+
+    # --------------------------------------------------------------- decrypt
+    def decrypt(self) -> np.ndarray:
+        """[dim, nvec] array of floats (column-major orientation)."""
+        cols = [v.decrypt() for v in self.vectors]
+        return np.stack(cols, axis=1)
+
+    def __repr__(self):
+        return (
+            f"HEMatrix({self.fmt}, vecs={len(self.vectors)}, "
+            f"dim={self.vectors[0].dim}, scale={self.scale})"
+        )

@@ -1,0 +1,443 @@
+"""HEVector: the scale-tracked ciphertext vector (ref IVector/
+EncryptedSealBfvVector/AtomicSealBfvEncryptedVector, SURVEY.md 2.2).
+
+Layout: `data` is uint32 [P, C, size, k, N] — P plain-CRT primes, C blocks.
+  * dense  (EVectorFormat.dense):  C = ceil(dim/n) blocks; flat slot order
+    (slots [0, n/2) = SIMD row 0, [n/2, n) = row 1, SEAL layout).
+  * sparse (EVectorFormat.sparse): C = dim ciphertexts, each holding one
+    value replicated in every slot.
+
+Every structural op (rotate/duplicate/interleave/sum) is built from the
+same primitive set as the reference — row rotations, column swaps, and
+0/1-mask plaintext multiplies — so op counts and noise growth match the
+SEAL cost model; but they run batched over [P, C] as one traced program
+instead of per-prime/per-block thread tasks.
+
+Plain (unencrypted) vectors share this class with is_encrypted=False and
+slot values held host-side; mixed plain/encrypted ops dispatch like the
+reference's plainData/encData dual storage (`AtomicSealBfvVector.cs:305`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..crypto.bfv import Ciphertext
+from ..crypto.modular import add_mod
+from ..crypto.bfv import mod_sum
+from ..utils.opcount import OPS
+
+DENSE = "dense"
+SPARSE = "sparse"
+
+
+class HEVector:
+    def __init__(
+        self,
+        factory,
+        *,
+        data=None,
+        values=None,
+        dim: int,
+        scale: float,
+        fmt: str = DENSE,
+        is_signed: bool = True,
+    ):
+        self.factory = factory
+        self.data = data            # [P, C, size, k, N] when encrypted
+        self.values = values        # numpy object ints (scaled) when plain
+        self.dim = int(dim)
+        self.scale = float(scale)
+        self.fmt = fmt
+        self.is_signed = is_signed
+        self._mult_form = None
+        self._add_form = None
+
+    # ------------------------------------------------------------ properties
+    @property
+    def is_encrypted(self) -> bool:
+        return self.data is not None
+
+    @property
+    def block_size(self) -> int:
+        return self.factory.block_size
+
+    @property
+    def num_blocks(self) -> int:
+        if self.is_encrypted:
+            return self.data.shape[1]
+        return max(1, -(-self.dim // self.factory.n))
+
+    def _clone_meta(self, data=None, values=None, dim=None, scale=None, fmt=None):
+        return HEVector(
+            self.factory,
+            data=data,
+            values=values,
+            dim=self.dim if dim is None else dim,
+            scale=self.scale if scale is None else scale,
+            fmt=self.fmt if fmt is None else fmt,
+            is_signed=self.is_signed,
+        )
+
+    def register_scale(self, scale: float):
+        self.scale = float(scale)
+        return self
+
+    # ------------------------------------------------------- plain lazy forms
+    def _slot_values(self) -> np.ndarray:
+        """Plain vector -> full slot array (dense: flat; sparse: replicated)."""
+        assert not self.is_encrypted
+        n = self.factory.n
+        if self.fmt == SPARSE:
+            # each element fills all slots of its own block
+            return np.stack(
+                [np.full(n, v, dtype=object) for v in self.values]
+            )
+        C = self.num_blocks
+        buf = np.zeros(C * n, dtype=object)
+        buf[: self.dim] = self.values[: self.dim]
+        return buf.reshape(C, n)
+
+    def mult_form(self):
+        if self._mult_form is None:
+            sv = self._slot_values()
+            forms = [
+                self.factory.plain_mult_form(sv[b], self.factory.n)
+                for b in range(sv.shape[0])
+            ]
+            # [P, C, k, N] (plain_mult_form returns [P, 1, k, N] per block)
+            self._mult_form = jnp.concatenate(forms, axis=1)
+        return self._mult_form
+
+    def add_form(self):
+        if self._add_form is None:
+            sv = self._slot_values()
+            forms = [
+                self.factory.plain_add_form(sv[b], self.factory.n)
+                for b in range(sv.shape[0])
+            ]
+            self._add_form = jnp.concatenate(forms, axis=1)
+        return self._add_form
+
+    # ------------------------------------------------------------ add / sub
+    def _binary_scale_check(self, other):
+        if self.scale != 0 and other.scale != 0 and self.scale != other.scale:
+            raise ValueError(
+                f"Scales do not match: {self.scale} vs {other.scale}"
+            )
+
+    def add(self, other: "HEVector") -> "HEVector":
+        if self.scale == 0:
+            return other
+        if other.scale == 0:
+            return self
+        self._binary_scale_check(other)
+        bfv = self.factory.bfv[0]
+        if self.is_encrypted and other.is_encrypted:
+            OPS.count("addition", self.data.shape[1])
+            out = bfv.add(Ciphertext(self.data), Ciphertext(other.data)).data
+            return self._clone_meta(data=out)
+        if self.is_encrypted and not other.is_encrypted:
+            OPS.count("plain_addition", self.data.shape[1])
+            out = self.factory.add_plain_data(self.data, other.add_form())
+            return self._clone_meta(data=out)
+        if not self.is_encrypted and other.is_encrypted:
+            return other.add(self)
+        vals = self.values + other.values
+        return self._clone_meta(values=vals)
+
+    def subtract(self, other: "HEVector") -> "HEVector":
+        if other.scale == 0:
+            return self
+        bfv = self.factory.bfv[0]
+        if self.is_encrypted and other.is_encrypted:
+            self._binary_scale_check(other)
+            OPS.count("subtraction", self.data.shape[1])
+            out = bfv.sub(Ciphertext(self.data), Ciphertext(other.data)).data
+            return self._clone_meta(data=out)
+        if self.is_encrypted:
+            self._binary_scale_check(other)
+            OPS.count("plain_subtraction", self.data.shape[1])
+            out = self.factory.add_plain_data(
+                self.data, other.add_form(), sub=True
+            )
+            return self._clone_meta(data=out)
+        if other.is_encrypted:
+            neg = other.factory.bfv[0].neg(Ciphertext(other.data)).data
+            tmp = other._clone_meta(data=neg)
+            return tmp.add(self)
+        return self._clone_meta(values=self.values - other.values)
+
+    # --------------------------------------------------- pointwise multiply
+    def pointwise_multiply(self, other: "HEVector") -> "HEVector":
+        """Elementwise product; sparse-dim-1 operands broadcast as scalars
+        (ref `AtomicSealBfvVector.cs:763-860`)."""
+        a, b = self, other
+        out_scale = a.scale * b.scale
+        out_dim = max(a.dim, b.dim) if (a.dim == 1 or b.dim == 1) else a.dim
+        if a.dim != b.dim and a.dim != 1 and b.dim != 1:
+            raise ValueError("Vector dimensions do not match")
+        out_fmt = a.fmt if a.dim >= b.dim else b.fmt
+        if a.dim == 1 and b.dim > 1:
+            a, b = b, a  # larger first; b is the scalar
+        bfv0 = self.factory.bfv[0]
+        if a.is_encrypted and b.is_encrypted:
+            OPS.count("multiplication", a.data.shape[1])
+            OPS.count("relinearization", a.data.shape[1])
+            per = []
+            bd = b.data
+            for pi, bfv in enumerate(self.factory.bfv):
+                prod = bfv.multiply(
+                    Ciphertext(a.data[pi]), Ciphertext(bd[pi])
+                )
+                per.append(bfv.relinearize(prod, self.factory.keys).data)
+            out = jnp.stack(per)
+        elif a.is_encrypted:
+            OPS.count("plain_multiplication", a.data.shape[1])
+            # insert the poly axis so [P,C,k,N] broadcasts against
+            # [P,C,size,k,N]
+            out = bfv0.mul_plain(
+                Ciphertext(a.data), b.mult_form()[:, :, None]
+            ).data
+        elif b.is_encrypted:
+            return b.pointwise_multiply(a)
+        else:
+            bv = b.values if b.dim > 1 else b.values[0]
+            r = self._clone_meta(values=a.values * bv, dim=out_dim, fmt=out_fmt)
+            r.scale = out_scale
+            return r
+        r = self._clone_meta(data=out, dim=out_dim, fmt=out_fmt)
+        r.scale = out_scale
+        return r
+
+    # ------------------------------------------------------------- rotations
+    def _rot_rows(self, steps: int) -> jnp.ndarray:
+        """Row-rotate LEFT by steps (SEAL RotateRows sign convention)."""
+        OPS.count("rotation", self.data.shape[1])
+        return self.factory.bfv[0].rotate_rows(
+            Ciphertext(self.data), steps, self.factory.keys
+        ).data
+
+    def _col_swap_data(self, data) -> jnp.ndarray:
+        OPS.count("rotation", data.shape[1])
+        return self.factory.bfv[0].rotate_columns(
+            Ciphertext(data), self.factory.keys
+        ).data
+
+    def rotate(self, amount: int) -> "HEVector":
+        """SEAL RotateRows(amount): each (n/2)-row rotates left by amount
+        (ref `AtomicSealBfvVector.cs:1410-1430`)."""
+        if not self.is_encrypted:
+            # Raw emulation (flat block, zero-fill outside dim) lives in the
+            # Raw backend; plain HEVectors emulate the encrypted semantics.
+            row = self.factory.n // 2
+            sv = self._slot_values()[0]
+            lo, hi = sv[:row], sv[row:]
+            vals = np.concatenate(
+                [np.roll(lo, -amount), np.roll(hi, -amount)]
+            )
+            return self._clone_meta(values=vals[: self.dim])
+        assert self.num_blocks == 1, "rotate expects a single block"
+        return self._clone_meta(data=self._rot_rows(amount))
+
+    # ----------------------------------------------------------- slot sums
+    def sum_all_slots(
+        self, length: int | None = None, force_output_in_column: int | None = None
+    ) -> "HEVector":
+        """Right-rotate-accumulate tree (ref `AtomicSealBfvVector.cs:
+        871-955`): out[i] = sum_{d<length} in[i-d]; full sum uses a column
+        rotation first and leaves the total in every slot."""
+        assert self.fmt == DENSE, "expecting dense vector"
+        p = self.factory
+        n = p.n
+        row = n // 2
+        full = length is None or length >= row
+        d = self.data
+        if d.shape[1] > 1:  # AddMany over blocks
+            OPS.count("add_many", 1)
+            d = mod_sum(d, p.bfv[0].p.chain_q.q, axis=1)[:, None]
+        if full:
+            d = add_mod(d, self._col_swap_data(d), p.bfv[0].p.chain_q.q)
+            length = row
+        acc = d
+        steps = 1
+        while steps < length:
+            rot = p.bfv[0].rotate_rows(
+                Ciphertext(acc), -steps, p.keys
+            ).data
+            OPS.count("rotation", acc.shape[1])
+            acc = add_mod(acc, rot, p.bfv[0].p.chain_q.q)
+            steps *= 2
+        out_dim = 1 if full else self.dim
+        out_fmt = SPARSE if (length is not None and length >= row) else DENSE
+        if force_output_in_column is not None:
+            assert full, "forcing output column requires a complete sum"
+            mask = p.unit_mask_form(force_output_in_column)
+            OPS.count("plain_multiplication", acc.shape[1])
+            acc = p.bfv[0].mul_plain(Ciphertext(acc), mask[:, :, None]).data
+            out_fmt = DENSE
+            out_dim = self.dim
+        return self._clone_meta(data=acc, dim=out_dim, fmt=out_fmt)
+
+    # ---------------------------------------------------------- dot product
+    def dot_product(
+        self, other: "HEVector", length: int | None = None,
+        force_output_in_column: int | None = None,
+    ) -> "HEVector":
+        prod = self.pointwise_multiply(other)
+        return prod.sum_all_slots(length, force_output_in_column)
+
+    # ------------------------------------------------------------ duplicate
+    def duplicate(self, count: int) -> "HEVector":
+        """Replicate at next-pow2 stride within one ciphertext
+        (ref `AtomicSealBfvVector.cs:1366-1408`)."""
+        assert self.is_encrypted and self.fmt == DENSE
+        p = self.factory
+        n = p.n
+        stride = 1
+        while stride < self.dim:
+            stride *= 2
+        assert stride * count <= n, "packed vector must fit in one ciphertext"
+        base = self.data
+        res = base
+        rotator = None
+        q = p.bfv[0].p.chain_q.q
+        for i in range(1, count):
+            amt = i * stride
+            src = base
+            if 2 * amt >= n:
+                if rotator is None:
+                    rotator = self._col_swap_data(base)
+                src = rotator
+                amt -= n // 2
+            rot = p.bfv[0].rotate_rows(Ciphertext(src), -amt, p.keys).data
+            OPS.count("rotation", 1)
+            res = add_mod(res, rot, q)
+        return self._clone_meta(data=res, dim=stride * count)
+
+    # -------------------------------------------------------------- permute
+    def permute(self, selections, shifts, output_dim: int) -> "HEVector":
+        """sum_i RotateRows(self * sel_i, shifts[i]) (ref
+        `AtomicSealBfvVector.cs:1436-1475`)."""
+        assert self.fmt == DENSE and self.num_blocks == 1
+        p = self.factory
+        q = p.bfv[0].p.chain_q.q
+        res = None
+        first_sel = None
+        for sel, sh in zip(selections, shifts):
+            if sel is None:
+                continue
+            if first_sel is None:
+                first_sel = sel
+            if sel.dim != self.dim:
+                raise ValueError("selection dimension mismatch")
+            if sel.scale != first_sel.scale:
+                raise ValueError("selection scales must match")
+            t = self.pointwise_multiply(sel)
+            t = t._rot_rows(sh)
+            res = t if res is None else add_mod(res, t, q)
+        if first_sel is None:
+            raise ValueError("permuting with no selections")
+        out = self._clone_meta(data=res, dim=output_dim)
+        out.scale = self.scale * first_sel.scale
+        return out
+
+    # ----------------------------------------------------------- interleave
+    @staticmethod
+    def interleave(vecs, shift: int) -> "HEVector":
+        """Merge vectors: vec k lands at flat offset shift*k (negative
+        shift: offset n/2 + shift*k), via right row-rotations, boundary
+        mask splits, and column swaps (ref `AtomicSealBfvVector.cs:
+        600-750`)."""
+        v0 = vecs[0]
+        p = v0.factory
+        n = p.n
+        row = n // 2
+        q = p.bfv[0].p.chain_q.q
+        d = v0.dim
+        if shift > 0:
+            out_blocks = -(-int(shift * (len(vecs) - 1) + d) // n)
+        else:
+            out_blocks = 1
+        absh = abs(shift)
+        assert absh * len(vecs) <= n * out_blocks, "not enough room"
+        lower = [None] * out_blocks
+        upper = [None] * out_blocks
+
+        def acc(store, b, piece):
+            store[b] = piece if store[b] is None else add_mod(store[b], piece, q)
+
+        for kidx, v in enumerate(vecs):
+            assert v.num_blocks == 1 and v.fmt == DENSE
+            off = shift * kidx
+            if off < 0:
+                off = row + off
+            a = off % row
+            z = v.data
+            if a:
+                z = p.bfv[0].rotate_rows(Ciphertext(z), -a, p.keys).data
+                OPS.count("rotation", 1)
+            # partition flat [off, off+d) into runs of constant (block, half)
+            runs = []
+            start = off
+            while start < off + d:
+                end = min(off + d, (start // row + 1) * row)
+                runs.append(
+                    (start // n, (start % n) >= row, start % row, end - start)
+                )
+                start = end
+            for b, is_upper, p0, ln in runs:
+                piece = z
+                if len(runs) > 1:
+                    mask = p.mask_mult_form(p0, p0 + ln)
+                    OPS.count("plain_multiplication", 1)
+                    piece = p.bfv[0].mul_plain(
+                        Ciphertext(z), mask[:, :, None]
+                    ).data
+                acc(upper if is_upper else lower, b, piece)
+        outs = []
+        for b in range(out_blocks):
+            blk = lower[b]
+            if upper[b] is not None:
+                up = v0._clone_meta(data=upper[b])._col_swap_data(upper[b])
+                blk = up if blk is None else add_mod(blk, up, q)
+            outs.append(blk)
+        out = jnp.concatenate(outs, axis=1)
+        return v0._clone_meta(data=out, dim=d)
+
+    @staticmethod
+    def stack(vecs) -> "HEVector":
+        """Concatenate vectors end-to-end (ref Stack,
+        `AtomicSealBfvVector.cs:752-761`)."""
+        res = HEVector.interleave(vecs, int(vecs[0].dim))
+        res.dim = int(vecs[0].dim) * len(vecs)
+        return res
+
+    # -------------------------------------------------------------- decrypt
+    def decrypt_full_precision(self) -> np.ndarray:
+        """Centered big-int values (ref DecryptFullPrecision)."""
+        if not self.is_encrypted:
+            if self.fmt == SPARSE:
+                return np.asarray(self.values, dtype=object)
+            return np.asarray(self.values[: self.dim], dtype=object)
+        p = self.factory
+        if self.fmt == SPARSE:
+            # value of block c replicated in slots: read flat slot 0
+            vals = p.decrypt_blocks(self.data, p.n * self.num_blocks)
+            vals = vals.reshape(self.num_blocks, p.n)[:, 0]
+            return vals[: self.dim]
+        return p.decrypt_blocks(self.data, self.dim)
+
+    def decrypt(self) -> np.ndarray:
+        """Float values (big ints / scale)."""
+        vals = self.decrypt_full_precision()
+        return np.array([float(v) for v in vals]) / self.scale
+
+    # ---------------------------------------------------------------- debug
+    def __repr__(self):
+        kind = "enc" if self.is_encrypted else "plain"
+        return (
+            f"HEVector({kind}, dim={self.dim}, scale={self.scale}, "
+            f"fmt={self.fmt}, blocks={self.num_blocks})"
+        )

@@ -44,10 +44,8 @@ def gauss(key, shape):
 def small_to_residues(x, q_col):
     """Small signed int32 values -> uint32 residues mod each limb modulus.
 
-    x: [..., N] (no limb axis) or [..., 1, N]; q_col: [L, 1].
-    Returns [..., L, N].
+    x: [..., N] with NO limb axis; q_col: [L, 1].  Returns [..., L, N].
     """
-    if x.ndim < 2 or x.shape[-2] != 1:
-        x = x[..., None, :]
+    x = x[..., None, :]
     xu = x.astype(jnp.uint32)
     return jnp.where(x < 0, xu + q_col, xu).astype(jnp.uint32)
