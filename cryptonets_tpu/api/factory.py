@@ -250,6 +250,17 @@ class CrtBfvFactory:
 
         return HEMatrix(self, list(vectors), fmt)
 
+    def get_zero_vector(self, dim: int, scale: float = 1.0):
+        """A transparent (noise-free) encryption of zero — used for conv
+        padding columns; the reference encrypts literal zeros instead
+        (`PoolLayer.cs:68-80`), which is equivalent but costlier."""
+        from .vector import HEVector
+
+        C = max(1, -(-dim // self.n))
+        k = len(self.coeff_modulus)
+        data = jnp.zeros((self.P, C, 2, k, self.n), jnp.uint32)
+        return HEVector(self, data=data, dim=dim, scale=scale, fmt="dense")
+
     def add_plain_data(self, data, form, sub: bool = False) -> jnp.ndarray:
         """ct data [P,...] +/- plain residues [P,...]: per-prime Delta."""
         from ..crypto.bfv import Ciphertext
@@ -319,4 +330,11 @@ class RawFactory:
         m = arr.T if fmt == "col" else arr
         return RawMatrix.from_scaled(
             m, vectors[0].scale, fmt, self.block_size
+        )
+
+    def get_zero_vector(self, dim: int, scale: float = 1.0):
+        from .raw import RawVector
+
+        return RawVector.from_scaled(
+            np.zeros(dim), scale, self.block_size
         )
