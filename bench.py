@@ -1,0 +1,79 @@
+"""Headline benchmark: LoLa-MNIST encrypted single-image latency.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 2.2 s published single-image latency (BASELINE.md north star);
+vs_baseline > 1 means faster than the reference.
+
+Env knobs:
+  BENCH_NETWORK = LoLa | LoLaSmall   (default LoLaSmall: the shortest
+                   real network; LoLa is the full published pipeline)
+  BENCH_RECORDS = number of timed records (default 3)
+  BENCH_PLATFORM = cpu to force CPU
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_S = 2.2
+
+
+def main():
+    if os.environ.get("BENCH_PLATFORM") == "cpu":
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=1"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from cryptonets_tpu.data.preprocess import synthetic_mnist_records
+    from cryptonets_tpu.models import lola_mnist
+    from cryptonets_tpu.nn.jit import EncryptedForward
+
+    network = os.environ.get("BENCH_NETWORK", "LoLaSmall")
+    n_records = int(os.environ.get("BENCH_RECORDS", "3"))
+    builder = lola_mnist.BUILDERS[network]
+
+    records = synthetic_mnist_records(n_records + 1, seed=11)
+    t0 = time.time()
+    head, factory, reader = builder(True, records=records)
+    head.prepare_network()
+    keygen_s = time.time() - t0
+    print(f"# factory+keygen+prepare: {keygen_s:.1f}s", file=sys.stderr)
+
+    fwd = EncryptedForward(head, jit=True)
+    # warm-up record: trace + compile
+    t0 = time.time()
+    m = fwd()
+    m.get_column(0).decrypt()
+    print(f"# warmup (compile) record: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    lats = []
+    for _ in range(n_records):
+        t0 = time.time()
+        m = fwd()
+        dec = m.get_column(0).decrypt()
+        lats.append(time.time() - t0)
+        print(f"# record latency {lats[-1]:.3f}s", file=sys.stderr)
+    lat = float(np.median(lats))
+    print(
+        json.dumps(
+            {
+                "metric": f"{network}-MNIST encrypted single-image latency",
+                "value": round(lat, 4),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_S / lat, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

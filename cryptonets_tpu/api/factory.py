@@ -114,13 +114,26 @@ class CrtBfvFactory:
         from ..crypto.bfv import Ciphertext
 
         per_prime = []
+        device_path = all(t < (1 << 31) for t in self.plain_primes)
         for pi in range(self.P):
-            coeffs = self.bfv[pi].decrypt(
-                self.keys, Ciphertext(data[pi])
-            )  # [C, N] object
-            slots = np.concatenate(
-                [self.encoders[pi].decode(coeffs[b]) for b in range(coeffs.shape[0])]
-            )
+            if device_path:
+                # device scale-and-round (BEHZ gamma), fast numpy decode
+                res = np.asarray(
+                    self.bfv[pi].decrypt_residues_mod_t(
+                        self.keys, Ciphertext(data[pi])
+                    )
+                )  # [C, N] uint32
+                slots = self.encoders[pi].decode_int(res).reshape(-1)
+            else:
+                coeffs = self.bfv[pi].decrypt(
+                    self.keys, Ciphertext(data[pi])
+                )  # [C, N] object
+                slots = np.concatenate(
+                    [
+                        self.encoders[pi].decode(coeffs[b])
+                        for b in range(coeffs.shape[0])
+                    ]
+                )
             per_prime.append(slots[:dim])
         return self.join_split_numbers(per_prime)
 
@@ -279,6 +292,15 @@ class CrtBfvFactory:
             row = self.n // 2
             pos = np.arange(self.n) % row
             m = ((pos >= lo) & (pos < hi)).astype(np.int64)
+            self._mask_cache[key] = self.plain_mult_form(m, self.n)
+        return self._mask_cache[key]
+
+    def flat_mask_form(self, lo: int, hi: int) -> jnp.ndarray:
+        """0/1 mask over FLAT slots [lo, hi) (spans rows naturally)."""
+        key = ("flat", lo, hi)
+        if key not in self._mask_cache:
+            m = np.zeros(self.n, np.int64)
+            m[lo:hi] = 1
             self._mask_cache[key] = self.plain_mult_form(m, self.n)
         return self._mask_cache[key]
 

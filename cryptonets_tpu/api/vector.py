@@ -24,7 +24,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..crypto.bfv import Ciphertext
-from ..crypto.modular import add_mod
+from ..crypto.modular import add_mod, sub_mod
 from ..crypto.bfv import mod_sum
 from ..utils.opcount import OPS
 
@@ -347,20 +347,22 @@ class HEVector:
     @staticmethod
     def interleave(vecs, shift: int) -> "HEVector":
         """Merge vectors: vec k lands at flat offset shift*k (negative
-        shift: offset n/2 + shift*k), via right row-rotations, boundary
-        mask splits, and column swaps (ref `AtomicSealBfvVector.cs:
-        600-750`)."""
+        shift: row + shift*k).  Faithful port of the reference case
+        analysis (`AtomicSealBfvVector.cs:600-750`): the placement extent
+        is |shift|; pieces are row-rotations, split by prefix masks only
+        when the extent crosses a row/block boundary, with upper halves
+        merged via one column rotation per output block."""
         v0 = vecs[0]
         p = v0.factory
         n = p.n
         row = n // 2
         q = p.bfv[0].p.chain_q.q
         d = v0.dim
+        absh = abs(shift)
         if shift > 0:
-            out_blocks = -(-int(shift * (len(vecs) - 1) + d) // n)
+            out_blocks = -(-int(d * len(vecs)) // n)
         else:
             out_blocks = 1
-        absh = abs(shift)
         assert absh * len(vecs) <= n * out_blocks, "not enough room"
         lower = [None] * out_blocks
         upper = [None] * out_blocks
@@ -368,40 +370,59 @@ class HEVector:
         def acc(store, b, piece):
             store[b] = piece if store[b] is None else add_mod(store[b], piece, q)
 
+        def rot_right(data, amt):
+            if amt % row == 0:
+                return data
+            OPS.count("rotation", 1)
+            return p.bfv[0].rotate_rows(Ciphertext(data), -amt, p.keys).data
+
+        def prefix_masked(data, ups):
+            """data * mask(flat slots [0, ups)) — the wrapped-around part."""
+            mask = p.flat_mask_form(0, ups)
+            OPS.count("plain_multiplication", 1)
+            return p.bfv[0].mul_plain(Ciphertext(data), mask[:, :, None]).data
+
         for kidx, v in enumerate(vecs):
             assert v.num_blocks == 1 and v.fmt == DENSE
-            off = shift * kidx
-            if off < 0:
-                off = row + off
-            a = off % row
+            this_shift = shift * kidx
+            if this_shift < 0:
+                this_shift = row + this_shift
+            in_block = this_shift % n
+            start_b = this_shift // n
+            end_b = (this_shift + absh) // n
             z = v.data
-            if a:
-                z = p.bfv[0].rotate_rows(Ciphertext(z), -a, p.keys).data
-                OPS.count("rotation", 1)
-            # partition flat [off, off+d) into runs of constant (block, half)
-            runs = []
-            start = off
-            while start < off + d:
-                end = min(off + d, (start // row + 1) * row)
-                runs.append(
-                    (start // n, (start % n) >= row, start % row, end - start)
-                )
-                start = end
-            for b, is_upper, p0, ln in runs:
-                piece = z
-                if len(runs) > 1:
-                    mask = p.mask_mult_form(p0, p0 + ln)
-                    OPS.count("plain_multiplication", 1)
-                    piece = p.bfv[0].mul_plain(
-                        Ciphertext(z), mask[:, :, None]
-                    ).data
-                acc(upper if is_upper else lower, b, piece)
+            if in_block == 0:
+                acc(lower, start_b, z)
+            elif in_block + absh < row:
+                acc(lower, start_b, rot_right(z, this_shift))
+            elif in_block >= row:
+                z = rot_right(z, in_block - row)
+                if start_b == end_b:
+                    acc(upper, start_b, z)
+                else:
+                    ups = in_block + absh - n
+                    zm = prefix_masked(z, ups)
+                    OPS.count("subtraction", 1)
+                    acc(upper, start_b, sub_mod(z, zm, q))
+                    acc(lower, end_b, zm)
+            else:
+                z = rot_right(z, in_block)
+                ups = in_block + absh - row
+                if ups > 0:
+                    zm = prefix_masked(z, ups)
+                    OPS.count("subtraction", 1)
+                    acc(upper, start_b, zm)
+                    acc(lower, start_b, sub_mod(z, zm, q))
+                else:
+                    acc(lower, start_b, z)
         outs = []
         for b in range(out_blocks):
             blk = lower[b]
             if upper[b] is not None:
-                up = v0._clone_meta(data=upper[b])._col_swap_data(upper[b])
+                up = v0._col_swap_data(upper[b])
                 blk = up if blk is None else add_mod(blk, up, q)
+            if blk is None:
+                blk = jnp.zeros_like(v0.data)
             outs.append(blk)
         out = jnp.concatenate(outs, axis=1)
         return v0._clone_meta(data=out, dim=d)

@@ -42,7 +42,7 @@ from .modular import (
     shoup_precompute_host,
     sub_mod,
 )
-from .ntt import NTTContext
+from .ntt import NTTContext, get_ntt_context
 from .primes import aux_base_primes, default_coeff_modulus_128
 
 
@@ -138,7 +138,7 @@ class BFVParams:
         self.digits_per_limb = -(-max(q.bit_length() for q in qs) // dbc)
 
         self.chain_q = ModChain(qs)
-        self.ntt_q = NTTContext(n, qs)
+        self.ntt_q = get_ntt_context(n, qs)
         self.crt_q = CRT(list(qs))
         self.q_big = self.crt_q.product
         self.delta = self.q_big // self.t  # floor(q/t)
@@ -152,7 +152,7 @@ class BFVParams:
         bsk = self.B_list + (self.msk,)
         self.bsk_list = bsk
         self.chain_bsk = ModChain(bsk)
-        self.ntt_bsk = NTTContext(n, bsk)
+        self.ntt_bsk = get_ntt_context(n, bsk)
         self.crt_B = CRT(list(self.B_list))
         self.m_tilde = 1 << 16
 
@@ -180,6 +180,34 @@ class BFVParams:
         self.qinv_mod_bsk = self.chain_bsk.shoup_col(
             [modinv(q_big % m, m) for m in bsk]
         )
+        # ---- BEHZ gamma-correction decrypt (device scale-and-round):
+        # valid when t < 2**31 (the LoLa/Caltech/default configs); larger
+        # plain moduli use the exact host path.
+        self.gamma = None
+        if self.t < (1 << 31):
+            from .primes import ntt_primes
+
+            g = ntt_primes(n, 31, 4)[-1]  # a 31-bit prime != q,B limbs
+            while g in qs or g in aux or g == self.t:
+                g = ntt_primes(n, 31, 8)[-1]
+            self.gamma = g
+            self.chain_tg = ModChain([self.t, g])
+            self.gt_mod_q = self.chain_q.scalar_shoup_col(self.t * g)
+            self.punct_q_to_tg = self._punct_matrix(
+                self.crt_q.punctured, self.chain_tg
+            )
+            self.neg_qinv_tg = self.chain_tg.shoup_col(
+                [
+                    (-modinv(self.q_big % self.t, self.t)) % self.t,
+                    (-modinv(self.q_big % g, g)) % g,
+                ]
+            )
+            self.chain_t = ModChain([self.t])
+            self.gamma_mod_t = self.chain_t.scalar_shoup_col(g)
+            self.gamma_inv_t = self.chain_t.scalar_shoup_col(
+                modinv(g % self.t, self.t)
+            )
+
         # B -> q back-conversion (Shenoy-Kumaresan with m_sk)
         self.chain_B = ModChain(self.B_list)
         self.inv_punct_B = self.chain_B.shoup_col(self.crt_B.inv_punctured)
@@ -273,6 +301,12 @@ class BFV:
 
     def __init__(self, params: BFVParams):
         self.p = params
+        # nested jit: these compound ops appear many times in a network
+        # trace; wrapping them makes each a single (cached) call primitive
+        # in the outer jaxpr instead of thousands of inlined ops.
+        self.multiply = jax.jit(self.multiply)
+        self._switch_key_inner = jax.jit(self._switch_key_inner)
+        self.mul_plain = jax.jit(self.mul_plain)
 
     # ------------------------------------------------------------------ keys
     def keygen(self, seed: int | None = None, rot_steps=(), column_key=True):
@@ -413,6 +447,38 @@ class BFV:
                 c.q,
             )
         return add_mod(d[..., 0, :, :], p.ntt_q.inverse(acc), c.q)
+
+    def decrypt_residues_mod_t(self, keys: KeySet, ct: Ciphertext):
+        """DEVICE scale-and-round decrypt (BEHZ gamma correction): returns
+        plaintext coefficients mod t as uint32 [..., N].  Replaces the
+        exact host big-int path when t < 2**31 — this is what keeps
+        decrypt off the host critical path (SEAL does the same in native
+        C++ behind Decryptor.Decrypt)."""
+        p = self.p
+        assert p.gamma is not None, "device decrypt needs t < 2**31"
+        x = self.raw_decrypt_residues(keys, ct)          # [..., k, N]
+        xs = mul_const_mod(x, *p.gt_mod_q, p.chain_q.q)  # |gamma*t*x|_q
+        y = mul_const_mod(xs, *p.inv_punct_q, p.chain_q.q)
+        w, w_sh = p.punct_q_to_tg
+        terms = mul_const_mod(
+            y[..., :, None, :], w, w_sh, p.chain_tg.q[None, :, :]
+        )
+        conv = mod_sum(terms, p.chain_tg.q, axis=-3)     # [..., 2, N]
+        s = mul_const_mod(conv, *p.neg_qinv_tg, p.chain_tg.q)
+        s_t, s_g = s[..., 0, :], s[..., 1, :]
+        # reduce s_gamma into Z_t, centered: s_g > gamma/2 means negative
+        tq = p.chain_t.q[0]  # scalar-ish [1] -> broadcastable
+        s_g_red = mul_const_mod(
+            s_g, jnp.uint32(1), p.chain_t.one_shoup[0], tq
+        )
+        neg = s_g > jnp.uint32(p.gamma >> 1)
+        gm, gm_sh = p.gamma_mod_t
+        s_g_cent = jnp.where(
+            neg, sub_mod(s_g_red, gm[0], tq), s_g_red
+        )
+        diff = sub_mod(s_t, s_g_cent, tq)
+        gi, gi_sh = p.gamma_inv_t
+        return mul_const_mod(diff, gi[0], gi_sh[0], tq)
 
     def decrypt(self, keys: KeySet, ct: Ciphertext) -> np.ndarray:
         """Full decrypt -> plaintext coeffs as Python-int numpy [N] in [0,t)."""

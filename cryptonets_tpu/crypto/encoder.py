@@ -120,3 +120,12 @@ class BatchEncoder:
         c = self._cast(np.asarray(coeffs, dtype=object) % self.t)
         evals = _ntt_host(c, self.pf, self.t)
         return np.asarray(evals, dtype=object)[self.index_map]
+
+    def decode_int(self, coeffs: np.ndarray) -> np.ndarray:
+        """Fast vectorized decode for integer coeff arrays (t < 2**31):
+        uint64 numpy NTT, no object arithmetic.  Supports leading batch
+        axes: [..., n] -> [..., n] int64 slot values."""
+        assert self._small, "fast decode requires t < 2**31"
+        c = (coeffs.astype(np.int64) % self.t).astype(np.uint64)
+        evals = _ntt_host(c, self.pf, self.t)
+        return evals[..., self.index_map].astype(np.int64)

@@ -53,6 +53,18 @@ def _shoup_np(w: np.ndarray, q: int) -> np.ndarray:
     return ((w.astype(object) << 32) // q).astype(np.uint64).astype(np.uint32)
 
 
+_CONTEXT_CACHE: dict = {}
+
+
+def get_ntt_context(n: int, moduli) -> "NTTContext":
+    """Interned contexts: sharing across BFVParams instances dedupes
+    twiddle tables AND the per-shape jit caches of the transforms."""
+    key = (n, tuple(int(m) for m in moduli))
+    if key not in _CONTEXT_CACHE:
+        _CONTEXT_CACHE[key] = NTTContext(n, key[1])
+    return _CONTEXT_CACHE[key]
+
+
 class NTTContext:
     """Precomputed twiddle tables for a (ring degree, modulus chain) pair.
 

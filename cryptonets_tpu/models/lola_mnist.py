@@ -1,0 +1,361 @@
+"""LoLa MNIST networks — the low-latency single-image models
+(ref `LowLatencyCryptoNets/LoLaCryptonets.cs`): LoLa, LoLaDense,
+LoLaSmall, LoLaLarge, plus the evaluation harness with timing splice.
+
+CLI: python -m cryptonets_tpu.models.lola_mnist -n LoLa [-e] [-v]
+     [--records K] [--data FILE] [--no-jit]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from ..data import weights_extract
+from ..data.preprocess import synthetic_mnist_records
+from ..nn import (
+    ConvolutionEngine,
+    EncryptLayer,
+    LLConvReader,
+    LLDenseLayer,
+    LLDuplicateLayer,
+    LLInterleaveLayer,
+    LLInterleavedDenseLayer,
+    LLPackedDenseLayer,
+    LLPoolLayer,
+    LLPreConvLayer,
+    LLSingleLineReader,
+    LLVectorizeLayer,
+    SquareActivation,
+    WeightsReader,
+)
+from ..nn.jit import EncryptedForward
+from .presets import make_factory
+
+
+def transpose_flat(weights, input_size: int, out_maps: int) -> np.ndarray:
+    """[input_size*out_maps] row-major [in,out] -> [out,in] (ref
+    Transpose, `LoLaCryptonets.cs:414-426`)."""
+    w = np.asarray(weights, float).reshape(input_size, out_maps)
+    return w.T.ravel()
+
+
+def _mnist_geometry():
+    return dict(
+        input_shape=[28, 28],
+        kernel_shape=[5, 5],
+        upper_padding=[1, 1],
+        stride=[2, 2],
+    )
+
+
+def _load_cryptonets_weights():
+    w = weights_extract.load("cryptonets")
+    if w is None:
+        w = weights_extract.synthetic_weights(
+            {
+                "Weights_0": 130,
+                "Weights_1": 84500,
+                "Weights_3": 1000,
+                "Biases_2": 100,
+                "Biases_3": 10,
+            }
+        )
+    return w
+
+
+def build_lola(encrypt: bool, records=None, file_name=None, seed: int = 0):
+    """The flagship LoLa network (`LoLaCryptonets.cs:203-278`):
+    ConvReader -> Encrypt -> LLPool(5 maps) -> Vectorize -> Square ->
+    Duplicate(8) -> PackedDense(100, shift 1024) -> Interleave -> Square
+    -> InterleavedDense(10)."""
+    factory = make_factory("lola", encrypt, seed)
+    W = _load_cryptonets_weights()
+    weightscale = 32
+    geo = _mnist_geometry()
+
+    reader = LLConvReader(
+        factory if not encrypt else make_factory("lola", False),
+        file_name=file_name,
+        normalization_factor=1.0 / 256.0,
+        scale=16.0,
+        **geo,
+    )
+    if records is not None:
+        reader.set_source_records(records)
+    enc = EncryptLayer(reader)
+    enc.factory = factory
+    conv = LLPoolLayer(
+        enc, map_count=[5, 1], weights=W["Weights_0"],
+        weights_scale=weightscale, **geo,
+    )
+    vec = LLVectorizeLayer(conv)
+    act = SquareActivation(vec)
+    dup = LLDuplicateLayer(act, count=8)
+    dense5 = LLPackedDenseLayer(
+        dup,
+        weights=transpose_flat(W["Weights_1"], 5 * 13 * 13, 100),
+        bias=W["Biases_2"],
+        packing_count=8,
+        packing_shift=1024,
+        weights_scale=weightscale * weightscale,
+    )
+    selected = [1023 + i * 1024 for i in range(8)]
+    inter6 = LLInterleaveLayer(dense5, shift=-1, selected_indices=selected)
+    act7 = SquareActivation(inter6)
+    dense8 = LLInterleavedDenseLayer(
+        act7,
+        weights=W["Weights_3"],
+        bias=W["Biases_3"],
+        weights_scale=weightscale,
+        shift=-1,
+        selected_indices=selected,
+    )
+    return dense8, factory, reader
+
+
+def build_lola_small(encrypt: bool, records=None, file_name=None, seed=0):
+    """LoLaSmall (`LoLaCryptonets.cs:280-329`): Conv -> Vectorize ->
+    Square -> Dense(10); accuracy 96.92% at weightscale 64."""
+    factory = make_factory("lola_small", encrypt, seed)
+    W = weights_extract.load("lola_small")
+    if W is None:
+        W = weights_extract.synthetic_weights(
+            {"Weights_0": 130, "Weights_1": 8450, "Biases_1": 10}
+        )
+    weightscale = 64
+    geo = _mnist_geometry()
+    reader = LLConvReader(
+        make_factory("lola_small", False),
+        file_name=file_name,
+        normalization_factor=1.0 / 256.0,
+        scale=16.0,
+        **geo,
+    )
+    if records is not None:
+        reader.set_source_records(records)
+    enc = EncryptLayer(reader)
+    enc.factory = factory
+    conv = LLPoolLayer(
+        enc, map_count=[5, 1], weights=W["Weights_0"],
+        weights_scale=weightscale, **geo,
+    )
+    vec = LLVectorizeLayer(conv)
+    act = SquareActivation(vec)
+    dense = LLDenseLayer(
+        act,
+        weights=W["Weights_1"],
+        bias=W["Biases_1"],
+        weights_scale=weightscale,
+        input_format="dense",
+    )
+    return dense, factory, reader
+
+
+def build_lola_dense(encrypt: bool, records=None, file_name=None, seed=0):
+    """LoLaDense (`LoLaCryptonets.cs:118-201`): the server-side-im2col
+    variant with LLPreConvLayer and 16x duplication."""
+    factory = make_factory("lola_dense", encrypt, seed)
+    W = _load_cryptonets_weights()
+    weightscale = 32
+    geo = _mnist_geometry()
+    reader = LLSingleLineReader(
+        make_factory("lola_dense", False),
+        file_name=file_name,
+        normalization_factor=1.0 / 256.0,
+        scale=16.0,
+    )
+    if records is not None:
+        reader.set_source_records(records)
+    enc = EncryptLayer(reader)
+    enc.factory = factory
+    pre = LLPreConvLayer(
+        enc, use_axis_for_blocks=[True, True], **geo
+    )
+    pre.factory = factory
+    pre.prepare()
+    pre.layer_prepared = True
+    conv = LLPoolLayer(
+        pre, map_count=[5, 1], weights=W["Weights_0"],
+        weights_scale=weightscale, hot_indices=pre.hot_indices, **geo,
+    )
+    vec = LLVectorizeLayer(conv)
+    act = SquareActivation(vec)
+    dup = LLDuplicateLayer(act, count=16)
+    dense = LLPackedDenseLayer(
+        dup,
+        weights=pre.rearrange_weights(
+            transpose_flat(W["Weights_1"], 5 * 13 * 13, 100)
+        ),
+        bias=W["Biases_2"],
+        packing_count=16,
+        packing_shift=1024,
+        weights_scale=weightscale * weightscale,
+    )
+    selected = [1023 + i * 1024 for i in range(16)]
+    inter = LLInterleaveLayer(dense, shift=-1, selected_indices=selected)
+    act2 = SquareActivation(inter)
+    head = LLInterleavedDenseLayer(
+        act2,
+        weights=W["Weights_3"],
+        bias=W["Biases_3"],
+        weights_scale=weightscale,
+        shift=-1,
+        selected_indices=selected,
+    )
+    return head, factory, reader
+
+
+def build_lola_large(
+    encrypt: bool, records=None, file_name=None, seed=0,
+    weights_csv=None, bias_csv=None,
+):
+    """LoLaLarge (`LoLaCryptonets.cs:332-410`): 8x8-s2 conv (83 maps) ->
+    Square -> conv-as-dense (163 maps) -> Square -> Dense(10).  The
+    upstream weight blob is missing; seeded synthetic weights are used
+    unless CSVs are supplied."""
+    factory = make_factory("lola_large", encrypt, seed)
+    if weights_csv and bias_csv:
+        wr = WeightsReader(weights_csv, bias_csv)
+        w0 = np.asarray(wr.weights[0]) / 256.0
+        b0 = np.asarray(wr.biases[0])
+        w1, b1 = np.asarray(wr.weights[1]), np.asarray(wr.biases[1])
+        w2, b2 = np.asarray(wr.weights[2]), np.asarray(wr.biases[2])
+    else:
+        syn = weights_extract.synthetic_weights(
+            {
+                "w0": 83 * 64, "b0": 83,
+                "w1": 163 * 83 * 36, "b1": 163,
+                "w2": 10 * 163 * 16, "b2": 10,
+            }
+        )
+        w0, b0 = syn["w0"], syn["b0"]
+        w1, b1 = syn["w1"], syn["b1"]
+        w2, b2 = syn["w2"], syn["b2"]
+    geo = dict(
+        input_shape=[1, 28, 28],
+        kernel_shape=[1, 8, 8],
+        upper_padding=[0, 1, 1],
+        lower_padding=[0, 1, 1],
+        stride=[1000, 2, 2],
+    )
+    reader = LLConvReader(
+        make_factory("lola_large", False),
+        file_name=file_name,
+        normalization_factor=1.0,
+        scale=16.0,
+        **geo,
+    )
+    if records is not None:
+        reader.set_source_records(records)
+    enc = EncryptLayer(reader)
+    enc.factory = factory
+    conv1 = LLPoolLayer(
+        enc, map_count=[83, 1, 1], weights=w0, bias=b0,
+        weights_scale=4096, **geo,
+    )
+    vec = LLVectorizeLayer(conv1)
+    act3 = SquareActivation(vec)
+    conv_engine = ConvolutionEngine(
+        input_shape=[83, 12, 12],
+        kernel_shape=[83, 6, 6],
+        stride=[83, 2, 2],
+        map_count=[163, 1, 1],
+    )
+    dense4 = LLDenseLayer(
+        act3,
+        weights=conv_engine.get_dense_weights(w1).ravel(),
+        bias=conv_engine.get_dense_bias(b1),
+        weights_scale=64,
+        input_format="dense",
+        force_dense_format=True,
+    )
+    act5 = SquareActivation(dense4)
+    dense6 = LLDenseLayer(
+        act5, weights=w2, bias=b2, weights_scale=512, input_format="dense"
+    )
+    return dense6, factory, reader
+
+
+BUILDERS = {
+    "LoLa": build_lola,
+    "LoLaSmall": build_lola_small,
+    "LoLaDense": build_lola_dense,
+    "LoLaLarge": build_lola_large,
+}
+
+
+def evaluate(
+    builder, encrypt=True, verbose=False, n_records=10, records=None,
+    file_name=None, use_jit=True, seed=0,
+):
+    """Evaluation harness (ref Evaluate, `LoLaCryptonets.cs:64-116`):
+    runs records through the network, reporting prediction latency and
+    accuracy against reader labels."""
+    if records is None and file_name is None:
+        records = synthetic_mnist_records(n_records, seed=1)
+    head, factory, reader = builder(
+        encrypt, records=records, file_name=file_name, seed=seed
+    )
+    if verbose:
+        head.set_verbose(True)
+    head.prepare_network()
+    errs = 0
+    latencies = []
+    run = None
+    if encrypt and use_jit:
+        run = EncryptedForward(head, jit=True)
+    for i in range(n_records):
+        t0 = time.time()
+        m = run() if run is not None else head.get_next()
+        if m is None:
+            break
+        out = m.get_column(0)
+        dec = out.decrypt()
+        latencies.append(time.time() - t0)
+        pred = int(np.argmax(dec[:10]))
+        label = reader.labels[0]
+        if pred != label:
+            errs += 1
+        print(
+            f"errs {errs}/{i+1} accuracy "
+            f"{100 - 100.0 * errs / (i + 1):0.3f}% "
+            f"latency {latencies[-1]:0.3f}s prediction {pred} label {label}"
+        )
+    return dict(
+        errs=errs,
+        count=len(latencies),
+        latencies=latencies,
+        steady_latency=float(np.median(latencies[1:]))
+        if len(latencies) > 1
+        else (latencies[0] if latencies else None),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-n", "--network", required=True, choices=BUILDERS)
+    ap.add_argument("-e", "--encrypt", action="store_true")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--records", type=int, default=10)
+    ap.add_argument("--data", default=None, help="TSV test file")
+    ap.add_argument("--no-jit", action="store_true")
+    args = ap.parse_args()
+    res = evaluate(
+        BUILDERS[args.network],
+        encrypt=args.encrypt,
+        verbose=args.verbose,
+        n_records=args.records,
+        file_name=args.data,
+        use_jit=not args.no_jit,
+    )
+    print(
+        f"done: {res['count']} records, steady-state latency "
+        f"{res['steady_latency']:.3f}s"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Parameter presets: map each reference app's SEAL configuration onto the
+TPU-native 31-bit-limb chains at the same total modulus width.
+
+The reference truncates SEAL's CoeffModulus128(n) chain with
+SmallModulusCount (`AtomicSealBfvVector.cs:148-149`); our chains have
+narrower (31-bit) limbs, so we match the TOTAL bit width of the truncated
+SEAL chain — same security, same noise capacity, more (perfectly
+parallel) limbs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from ..crypto.primes import default_coeff_modulus_128
+
+# SEAL 3.2 CoeffModulus128 limb bit widths per ring degree (public
+# constants of SEAL's defaultparams.h).
+SEAL_128_CHAIN_BITS = {
+    1024: [27],
+    2048: [54],
+    4096: [36, 36, 37],
+    8192: [43, 43, 44, 44, 44],
+    16384: [48, 48, 48, 49, 49, 49, 49, 49, 49],
+}
+
+
+def coeff_count_for(n: int, small_modulus_count: int | None = None) -> int:
+    """Number of 31-bit limbs matching the (truncated) SEAL chain width."""
+    bits = SEAL_128_CHAIN_BITS[n]
+    if small_modulus_count is not None:
+        bits = bits[:small_modulus_count]
+    total = sum(bits)
+    ours = default_coeff_modulus_128(n)
+    per = ours[0].bit_length()
+    return min(math.ceil(total / per), len(ours))
+
+
+# Per-app factory configs, verbatim plain primes from the reference
+# (SURVEY.md section 2.4).
+CONFIGS = {
+    "default": dict(  # `IFactory.cs:244-253`
+        plain_primes=(40961, 65537, 114689, 147457, 188417), n=4096,
+    ),
+    "cryptonets": dict(  # `CryptoNets.cs:17`
+        plain_primes=(549764251649, 549764284417), n=8192,
+    ),
+    "lola": dict(  # `LoLaCryptonets.cs:208`
+        plain_primes=(557057, 638977, 737281, 786433), n=8192,
+    ),
+    "lola_dense": dict(  # `LoLaCryptonets.cs:123` (SMC 7 of 9 @ 16384)
+        plain_primes=(34359771137, 34360754177), n=16384,
+        coeff_count=coeff_count_for(16384, 7),
+    ),
+    "lola_small": dict(  # `LoLaCryptonets.cs:283` (SMC 3 of 5 @ 8192)
+        plain_primes=(2277377, 2424833), n=8192,
+        coeff_count=coeff_count_for(8192, 3),
+    ),
+    "lola_large": dict(  # `LoLaCryptonets.cs:341`
+        plain_primes=(2148728833, 2148794369, 2149810177), n=16384,
+        coeff_count=coeff_count_for(16384, 7),
+    ),
+    "cifar": dict(  # `LolaCifarCryptoNet.cs:35` (SMC 8 of 9 @ 16384)
+        plain_primes=(957181001729, 957181034497), n=16384,
+        coeff_count=coeff_count_for(16384, 8),
+    ),
+    "caltech": dict(  # `Caltech101.cs:21` (SMC 2 of 3 @ 4096)
+        plain_primes=(4300801,), n=4096,
+        coeff_count=coeff_count_for(4096, 2),
+    ),
+}
+
+
+def make_factory(name: str, encrypt: bool = True, seed: int = 0, **overrides):
+    """Build the encrypted (CrtBfv) or Raw factory for a preset."""
+    from ..api.factory import CrtBfvFactory, RawFactory
+
+    cfg = dict(CONFIGS[name])
+    cfg.update(overrides)
+    if not encrypt:
+        return RawFactory(cfg["n"])
+    return CrtBfvFactory(seed=seed, **cfg)

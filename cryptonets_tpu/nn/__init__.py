@@ -14,6 +14,7 @@ from .lola import (
     LLDuplicateLayer,
     LLInterleaveLayer,
     LLInterleavedDenseLayer,
+    LLPackedDenseLayer,
     LLPoolLayer,
     LLPreConvLayer,
     LLVectorizeLayer,

@@ -161,17 +161,17 @@ def test_interleave_crossing_row_boundary(fac):
     """Pieces crossing the n/2 row boundary need mask splits + column
     rotations (the hard cases of `AtomicSealBfvVector.cs:619-690`)."""
     row = N // 2
-    d = 12
+    d = row - 4  # stride == dim: vec 1 straddles the row boundary,
+    # vec 2 straddles the block boundary
     vs = [RNG.integers(-5, 5, d).astype(float) for _ in range(3)]
     evs = [fac.get_encrypted_vector(v, "dense", 1.0) for v in vs]
-    shift = row - 4  # second vector straddles the row boundary
-    il = HEVector.interleave(evs, shift)
-    il.dim = min(shift * 2 + d, N)
-    gi = il.decrypt()
+    st = HEVector.stack(evs)
+    assert st.num_blocks == 2
+    gi = st.decrypt()
     flat = np.zeros(2 * N)
     for k, v in enumerate(vs):
-        flat[shift * k : shift * k + d] += v
-    np.testing.assert_allclose(gi[: len(gi)], flat[: len(gi)])
+        flat[d * k : d * (k + 1)] += v
+    np.testing.assert_allclose(gi, flat[: 3 * d])
 
 
 def test_big_stack_multiblock(fac):

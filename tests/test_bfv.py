@@ -127,3 +127,19 @@ def test_galois_automorphism(ctx):
         else:
             want[r - N] = (want[r - N] - m[i]) % T
     np.testing.assert_array_equal(got, want % T)
+
+
+def test_device_decrypt_matches_host(ctx):
+    """BEHZ gamma-correction device decrypt == exact host decrypt."""
+    bfv, keys = ctx
+    m = rand_plain()
+    ct = enc(bfv, keys, m, seed=31)
+    host = dec(bfv, keys, ct)
+    dev = np.asarray(bfv.decrypt_residues_mod_t(keys, ct)).astype(np.int64)
+    np.testing.assert_array_equal(dev, host)
+    # and after a multiply (noisier ciphertext)
+    sq = bfv.relinearize(bfv.square(ct), keys)
+    np.testing.assert_array_equal(
+        np.asarray(bfv.decrypt_residues_mod_t(keys, sq)).astype(np.int64),
+        dec(bfv, keys, sq),
+    )

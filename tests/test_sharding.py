@@ -1,0 +1,101 @@
+"""Multi-device sharding: encrypted ops under an 8-CPU-device mesh must
+produce results identical to single-device execution, with C sharded over
+the batch axis and RNS limbs over the limb axis (GSPMD collectives)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cryptonets_tpu.api import CrtBfvFactory
+from cryptonets_tpu.crypto.bfv import Ciphertext
+from cryptonets_tpu.crypto.primes import ntt_primes
+from cryptonets_tpu.parallel import make_mesh, shard_ciphertext_data
+from cryptonets_tpu.parallel.mesh import ciphertext_spec
+
+N = 256
+RNG = np.random.default_rng(55)
+
+
+@pytest.fixture(scope="module")
+def fac():
+    return CrtBfvFactory(
+        plain_primes=ntt_primes(N, 17, 2), n=N,
+        coeff_modulus=ntt_primes(N, 30, 4), dbc=16, seed=13,
+    )
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"batch": 4, "limb": 2}
+
+
+def test_sharded_square_rotate_matches_single(fac):
+    """A batched encrypted step (square+relin, rotate, add) sharded over
+    (batch=4, limb=2) equals the unsharded result bit-for-bit."""
+    mesh = make_mesh(8)
+    batch = 4
+    vals = [RNG.integers(-9, 9, 12).astype(float) for _ in range(batch)]
+    vecs = [fac.get_encrypted_vector(v, "dense", 1.0) for v in vals]
+    data = jnp.concatenate([v.data for v in vecs], axis=1)  # [P, 4, 2, k, N]
+
+    def step(d):
+        out = []
+        for pi, bfv in enumerate(fac.bfv):
+            sq = bfv.relinearize(
+                bfv.square(Ciphertext(d[pi])), fac.keys
+            )
+            rot = bfv.rotate_rows(sq, 1, fac.keys)
+            out.append(bfv.add(sq, rot).data)
+        return jnp.stack(out)
+
+    expect = np.asarray(jax.jit(step)(data))
+
+    from jax.sharding import NamedSharding
+
+    sharded_in = shard_ciphertext_data(data, mesh)
+    step_sharded = jax.jit(
+        step,
+        in_shardings=NamedSharding(mesh, ciphertext_spec()),
+        out_shardings=NamedSharding(mesh, ciphertext_spec()),
+    )
+    got = np.asarray(step_sharded(sharded_in))
+    np.testing.assert_array_equal(got, expect)
+
+    # decrypt through the normal path to confirm semantic correctness
+    out_v = vecs[0]._clone_meta(data=jnp.asarray(got)[:, :1])
+    dec = out_v.decrypt()[:12]
+    v = vals[0]
+    want = v * v + np.concatenate([v[1:] * v[1:], [0.0]])
+    np.testing.assert_allclose(dec, want)
+
+
+def test_sharded_multiply_collectives(fac):
+    """ct x ct multiply (BEHZ base conversions -> cross-limb collectives)
+    under the mesh equals single-device."""
+    mesh = make_mesh(8)
+    a = fac.get_encrypted_vector(np.arange(1.0, 9.0), "dense", 1.0)
+    b = fac.get_encrypted_vector(np.arange(8.0, 0.0, -1.0), "dense", 1.0)
+    da = jnp.concatenate([a.data] * 4, axis=1)
+    db = jnp.concatenate([b.data] * 4, axis=1)
+
+    def mul(x, y):
+        out = []
+        for pi, bfv in enumerate(fac.bfv):
+            prod = bfv.relinearize(
+                bfv.multiply(Ciphertext(x[pi]), Ciphertext(y[pi])),
+                fac.keys,
+            )
+            out.append(prod.data)
+        return jnp.stack(out)
+
+    expect = np.asarray(jax.jit(mul)(da, db))
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, ciphertext_spec())
+    got = np.asarray(
+        jax.jit(mul, in_shardings=(sh, sh), out_shardings=sh)(
+            jax.device_put(da, sh), jax.device_put(db, sh)
+        )
+    )
+    np.testing.assert_array_equal(got, expect)
