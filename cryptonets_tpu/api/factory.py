@@ -43,6 +43,7 @@ class CrtBfvFactory:
         dbc: int = 16,
         seed: int = 0,
         rot_steps=(),
+        _skip_keygen: bool = False,
     ):
         self.n = n
         self.plain_primes = tuple(int(t) for t in plain_primes)
@@ -56,13 +57,47 @@ class CrtBfvFactory:
             for t in self.plain_primes
         ]
         self.bfv = [BFV(p) for p in self.params]
+        self.has_secret_key = True
         # Keys are plain-modulus independent: generate once, share across P.
-        self.keys = self.bfv[0].keygen(seed=seed, rot_steps=rot_steps)
+        self.keys = (
+            None
+            if _skip_keygen
+            else self.bfv[0].keygen(seed=seed, rot_steps=rot_steps)
+        )
         self.encoders = [BatchEncoder(n, t) for t in self.plain_primes]
         self.plain_crt = CRT(list(self.plain_primes))
         self._rng_key = jax.random.key(seed ^ 0x5EED)
         self._mask_cache: dict = {}
         self._plain_cache: dict = {}
+        # single-launch encrypt/decrypt across all plain primes (each
+        # extra launch costs ~40ms on relay-attached TPUs)
+        self._encrypt_jit = jax.jit(self._encrypt_all)
+        self._decrypt_jit = jax.jit(self._decrypt_all)
+
+    def _encrypt_all(self, res_all, rng):
+        """res_all [P, C, k, N] -> ciphertext data [P, C, 2, k, N]."""
+        import jax as _jax
+
+        rngs = _jax.random.split(rng, self.P)
+        return jnp.stack(
+            [
+                self.bfv[pi].encrypt(self.keys, res_all[pi], rngs[pi]).data
+                for pi in range(self.P)
+            ]
+        )
+
+    def _decrypt_all(self, data):
+        """[P, C, size, k, N] -> plaintext residues mod t_p [P, C, N]."""
+        from ..crypto.bfv import Ciphertext
+
+        return jnp.stack(
+            [
+                self.bfv[pi].decrypt_residues_mod_t(
+                    self.keys, Ciphertext(data[pi])
+                )
+                for pi in range(self.P)
+            ]
+        )
 
     # -------------------------------------------------------------- helpers
     @property
@@ -115,15 +150,11 @@ class CrtBfvFactory:
 
         per_prime = []
         device_path = all(t < (1 << 31) for t in self.plain_primes)
+        if device_path:
+            res_all = np.asarray(self._decrypt_jit(data))  # [P, C, N]
         for pi in range(self.P):
             if device_path:
-                # device scale-and-round (BEHZ gamma), fast numpy decode
-                res = np.asarray(
-                    self.bfv[pi].decrypt_residues_mod_t(
-                        self.keys, Ciphertext(data[pi])
-                    )
-                )  # [C, N] uint32
-                slots = self.encoders[pi].decode_int(res).reshape(-1)
+                slots = self.encoders[pi].decode_int(res_all[pi]).reshape(-1)
             else:
                 coeffs = self.bfv[pi].decrypt(
                     self.keys, Ciphertext(data[pi])
@@ -211,30 +242,42 @@ class CrtBfvFactory:
         data = self._encrypt_slotsets(slotsets)
         return HEVector(self, data=data, dim=dim, scale=scale, fmt=fmt)
 
-    def _encrypt_slotsets(self, slotsets: np.ndarray) -> jnp.ndarray:
-        """[C, n] object slot values -> ciphertext data [P, C, 2, k, N]."""
-        per_prime = [
-            np.stack(
+    def _encode_slotsets_np(self, slotsets: np.ndarray) -> np.ndarray:
+        """[C, n] slot values -> residues [P, C, k, N] (numpy)."""
+        small = all(t < (1 << 31) for t in self.plain_primes)
+        if small and slotsets.dtype == object:
+            try:
+                slotsets = slotsets.astype(np.int64)
+            except (OverflowError, TypeError):
+                small = False
+        if small and slotsets.dtype != object:
+            return np.stack(
                 [
-                    self.encode_slots_to_residues(
-                        row % self.plain_primes[pi], pi
+                    self.params[pi].plain_to_residues(
+                        self.encoders[pi].encode_int_batch(slotsets)
                     )
-                    for row in slotsets
+                    for pi in range(self.P)
                 ]
             )
-            for pi in range(self.P)
-        ]
-        res_all = np.stack(per_prime).astype(np.uint32)
-        # Delta = q//t differs per plain prime: encrypt per prime (P small),
-        # each with its own randomness.
-        return jnp.stack(
+        return np.stack(
             [
-                self.bfv[pi].encrypt(
-                    self.keys, jnp.asarray(res_all[pi]), self.fresh_key()
-                ).data
+                np.stack(
+                    [
+                        self.encode_slots_to_residues(
+                            row % self.plain_primes[pi], pi
+                        )
+                        for row in slotsets
+                    ]
+                )
                 for pi in range(self.P)
             ]
         )
+
+    def _encrypt_slotsets(self, slotsets: np.ndarray) -> jnp.ndarray:
+        """[C, n] slot values -> ciphertext data [P, C, 2, k, N]."""
+        per_prime = self._encode_slotsets_np(slotsets)
+        res_all = jnp.asarray(per_prime.astype(np.uint32))
+        return self._encrypt_jit(res_all, self.fresh_key())
 
     def get_plain_matrix(self, m, fmt: str = "col", scale: float = 1.0):
         from .matrix import HEMatrix
@@ -248,15 +291,32 @@ class CrtBfvFactory:
         )
 
     def get_encrypted_matrix(self, m, fmt: str = "col", scale: float = 1.0):
+        """Encrypt ALL rows/columns with one device launch (the reference
+        parallelizes per column, `IFactory.cs:353-380`)."""
         from .matrix import HEMatrix
+        from .vector import HEVector
 
         m = np.asarray(m, dtype=np.float64)
         vecs = m.T if fmt == "col" else m
-        return HEMatrix(
-            self,
-            [self.get_encrypted_vector(v, "dense", scale) for v in vecs],
-            fmt,
+        V, dim = vecs.shape
+        n = self.n
+        C = max(1, -(-dim // n))
+        ints = np.round(vecs * scale).astype(np.int64)
+        slotsets = np.zeros((V * C, n), np.int64)
+        padded = np.zeros((V, C * n), np.int64)
+        padded[:, :dim] = ints
+        slotsets[:] = padded.reshape(V * C, n)
+        data = self._encrypt_slotsets(slotsets)  # [P, V*C, 2, k, N]
+        data = data.reshape(
+            self.P, V, C, *data.shape[2:]
         )
+        cols = [
+            HEVector(
+                self, data=data[:, i], dim=dim, scale=scale, fmt="dense"
+            )
+            for i in range(V)
+        ]
+        return HEMatrix(self, cols, fmt)
 
     def get_matrix(self, vectors, fmt: str = "col"):
         from .matrix import HEMatrix

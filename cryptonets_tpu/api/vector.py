@@ -443,6 +443,11 @@ class HEVector:
                 return np.asarray(self.values, dtype=object)
             return np.asarray(self.values[: self.dim], dtype=object)
         p = self.factory
+        if not getattr(p, "has_secret_key", True):
+            raise RuntimeError(
+                "this factory was loaded without a secret key; "
+                "decryption is disabled (ref AtomicSealBfvVector.cs:121-128)"
+            )
         if self.fmt == SPARSE:
             # value of block c replicated in slots: read flat slot 0
             vals = p.decrypt_blocks(self.data, p.n * self.num_blocks)

@@ -187,9 +187,12 @@ class BFVParams:
         if self.t < (1 << 31):
             from .primes import ntt_primes
 
-            g = ntt_primes(n, 31, 4)[-1]  # a 31-bit prime != q,B limbs
-            while g in qs or g in aux or g == self.t:
-                g = ntt_primes(n, 31, 8)[-1]
+            cand = ntt_primes(n, 31, self.k + len(aux) + 4)
+            g = next(
+                c
+                for c in cand
+                if c not in qs and c not in aux and c != self.t
+            )
             self.gamma = g
             self.chain_tg = ModChain([self.t, g])
             self.gt_mod_q = self.chain_q.scalar_shoup_col(self.t * g)
@@ -247,10 +250,21 @@ class BFVParams:
 
     # -- host-side plaintext residue helpers --------------------------------
     def plain_to_residues(self, coeffs) -> np.ndarray:
-        """Plain poly coeffs (ints mod t, any size up to t) -> [k, N] uint32."""
+        """Plain poly coeffs (ints mod t) -> [..., k, N] uint32; supports
+        leading batch axes and a vectorized int64 fast path for t < 2**31."""
+        c = np.asarray(coeffs)
+        if self.t < (1 << 31) and c.dtype != object:
+            c64 = c.astype(np.int64) % self.t
+            return np.stack(
+                [(c64 % q).astype(np.uint32) for q in self.q_list], axis=-2
+            )
         c = np.asarray(coeffs, dtype=object) % self.t
         return np.stack(
-            [(c % q).astype(np.uint64).astype(np.uint32) for q in self.q_list]
+            [
+                (c % q).astype(np.uint64).astype(np.uint32)
+                for q in self.q_list
+            ],
+            axis=-2,
         )
 
 
@@ -307,6 +321,7 @@ class BFV:
         self.multiply = jax.jit(self.multiply)
         self._switch_key_inner = jax.jit(self._switch_key_inner)
         self.mul_plain = jax.jit(self.mul_plain)
+        self._make_switch_keys_batched = jax.jit(self._make_switch_keys_batched)
 
     # ------------------------------------------------------------------ keys
     def keygen(self, seed: int | None = None, rot_steps=(), column_key=True):
@@ -333,7 +348,6 @@ class BFV:
             add_mod(p.chain_q.mont_mul(a_hat, s_mont), e_hat, p.chain_q.q),
             p.chain_q.q,
         )
-        relin = self._make_switch_keys(s2_hat, s_mont, ks)
 
         galois = {}
         row = p.n // 2
@@ -346,13 +360,31 @@ class BFV:
             galois[self.galois_elt_rows(st)] = None
         if column_key:
             galois[2 * p.n - 1] = None
-        for g in list(galois):
-            src, negm = _automorphism_tables(p.n, g)
-            sg_small = jnp.where(negm, -s_small[src], s_small[src])
-            sg_hat = p.ntt_q.forward(
-                sampling.small_to_residues(sg_small, p.chain_q.q)
-            )
-            galois[g] = self._make_switch_keys(sg_hat, s_mont, ks)
+        g_list = list(galois)
+
+        # all switch-key targets at once: s^2 then sigma_g(s) per element
+        sg_smalls = []
+        for g in g_list:
+            srcg, negm = _automorphism_tables(p.n, g)
+            sg_smalls.append(jnp.where(negm, -s_small[srcg], s_small[srcg]))
+        targets = jnp.concatenate(
+            [
+                s2_hat[None],
+                p.ntt_q.forward(
+                    sampling.small_to_residues(
+                        jnp.stack(sg_smalls), p.chain_q.q
+                    )
+                )
+                if g_list
+                else jnp.zeros((0,) + s2_hat.shape, s2_hat.dtype),
+            ]
+        )
+        k0_all, k1_all = self._make_switch_keys_batched(
+            targets, s_mont, next(ks)
+        )
+        relin = SwitchKeys(k0=k0_all[0], k1=k1_all[0])
+        for gi, g in enumerate(g_list):
+            galois[g] = SwitchKeys(k0=k0_all[gi + 1], k1=k1_all[gi + 1])
 
         return KeySet(
             s_hat_mont=s_mont,
@@ -376,36 +408,46 @@ class BFV:
             key, (p.k, p.n), c.q, c.r_mod, c.r_shoup, c.one_shoup
         )
 
-    def _make_switch_keys(self, target_hat, s_mont, ks):
-        """Keys K_ij = (-(a s + e) + target * 2^(dbc*j) * delta_i, a) in NTT
-        domain, where delta_i is the CRT unit vector of limb i (== 1 mod
-        q_i, 0 elsewhere): sum_ij digit_ij(x) * K_ij decrypts to x*target."""
+    def _digit_w_tables(self):
+        """[kD, k, 1] constants w_ij = 2^(dbc*j) * delta_i with Shoup."""
         p = self.p
-        c = p.chain_q
-        k0s, k1s = [], []
+        w = np.zeros((p.k * p.digits_per_limb, p.k), np.uint32)
+        wsh = np.zeros_like(w)
+        idx = 0
         for i in range(p.k):
             for j in range(p.digits_per_limb):
-                a_hat = self._uniform_ntt(next(ks))
-                e_hat = p.ntt_q.forward(
-                    sampling.small_to_residues(
-                        sampling.gauss(next(ks), (p.n,)), c.q
-                    )
-                )
-                w = [0] * p.k
-                w[i] = (1 << (p.dbc * j)) % p.q_list[i]
-                w_col, w_sh = c.shoup_col(w)
-                k0 = add_mod(
-                    neg_mod(
-                        add_mod(c.mont_mul(a_hat, s_mont), e_hat, c.q), c.q
-                    ),
-                    mul_const_mod(target_hat, w_col, w_sh, c.q),
-                    c.q,
-                )
-                k0s.append(k0)
-                k1s.append(a_hat)
-        return SwitchKeys(
-            k0=c.to_mont(jnp.stack(k0s)), k1=c.to_mont(jnp.stack(k1s))
+                val = (1 << (p.dbc * j)) % p.q_list[i]
+                w[idx, i] = val
+                wsh[idx, i] = shoup_precompute_host(val, p.q_list[i])
+                idx += 1
+        return jnp.asarray(w[:, :, None]), jnp.asarray(wsh[:, :, None])
+
+    def _make_switch_keys_batched(self, targets_hat, s_mont, key):
+        """Batched keygen: keys for ALL targets (relin + every Galois
+        element) and all (limb, digit) components in one traced program.
+        K_ij = (-(a s + e) + target * 2^(dbc*j) * delta_i, a); delta_i is
+        the CRT unit of limb i, so sum_ij digit_ij(x) * K_ij decrypts to
+        x * target."""
+        p = self.p
+        c = p.chain_q
+        G = targets_hat.shape[0]
+        kD = p.k * p.digits_per_limb
+        k1, k2 = jax.random.split(key)
+        a_hat = sampling.uniform_mod_q(
+            k1, (G, kD, p.k, p.n), c.q, c.r_mod, c.r_shoup, c.one_shoup
         )
+        e_hat = p.ntt_q.forward(
+            sampling.small_to_residues(
+                sampling.gauss(k2, (G, kD, p.n)), c.q
+            )
+        )
+        w, w_sh = self._digit_w_tables()
+        k0 = add_mod(
+            neg_mod(add_mod(c.mont_mul(a_hat, s_mont), e_hat, c.q), c.q),
+            mul_const_mod(targets_hat[:, None], w, w_sh, c.q),
+            c.q,
+        )
+        return c.to_mont(k0), c.to_mont(a_hat)
 
     # --------------------------------------------------------------- encrypt
     def encrypt(self, keys: KeySet, pt_residues, rng_key) -> Ciphertext:

@@ -99,6 +99,9 @@ class BatchEncoder:
             self.pi = pi.astype(np.uint64)
         else:
             self.pf, self.pi = pf, pi
+            if t < (1 << 63):  # native C++ 128-bit path tables
+                self.pf64 = np.array([int(v) for v in pf], np.uint64)
+                self.pi64 = np.array([int(v) for v in pi], np.uint64)
         self.n_inv = n_inv
         self.index_map = index_map
 
@@ -108,6 +111,16 @@ class BatchEncoder:
     def encode(self, values) -> np.ndarray:
         """values (ints, len <= n, signed ok) -> poly coeffs int64/object [n]."""
         v = np.asarray(values, dtype=object) % self.t
+        if not self._small and self.t < (1 << 63):
+            from ..runtime import hostcrypto
+
+            buf = np.zeros(self.n, np.uint64)
+            buf[self.index_map[: len(v)]] = np.array(
+                [int(x) for x in v], np.uint64
+            )
+            out = hostcrypto.ntt_inverse(buf, self.pi64, self.n_inv, self.t)
+            if out is not None:
+                return out.astype(object)
         buf = np.zeros(self.n, dtype=np.uint64 if self._small else object)
         buf[self.index_map[: len(v)]] = (
             v.astype(np.uint64) if self._small else v
@@ -117,9 +130,30 @@ class BatchEncoder:
 
     def decode(self, coeffs) -> np.ndarray:
         """poly coeffs -> slot values, object ints in [0, t)."""
-        c = self._cast(np.asarray(coeffs, dtype=object) % self.t)
+        cobj = np.asarray(coeffs, dtype=object) % self.t
+        if not self._small and self.t < (1 << 63):
+            from ..runtime import hostcrypto
+
+            buf = np.array([int(x) for x in cobj], np.uint64)
+            out = hostcrypto.ntt_forward(buf, self.pf64, self.t)
+            if out is not None:
+                return out.astype(object)[self.index_map]
+        c = self._cast(cobj)
         evals = _ntt_host(c, self.pf, self.t)
         return np.asarray(evals, dtype=object)[self.index_map]
+
+    def encode_int_batch(self, values: np.ndarray) -> np.ndarray:
+        """Vectorized encode for integer slot arrays [..., <=n] (t < 2**31):
+        one batched uint64 numpy NTT instead of per-row object math."""
+        assert self._small
+        v = np.asarray(values)
+        assert v.dtype != object
+        buf = np.zeros(v.shape[:-1] + (self.n,), np.uint64)
+        buf[..., self.index_map[: v.shape[-1]]] = (
+            v.astype(np.int64) % self.t
+        ).astype(np.uint64)
+        coeffs = _intt_host(buf, self.pi, self.n_inv, self.t)
+        return coeffs.astype(np.int64)
 
     def decode_int(self, coeffs: np.ndarray) -> np.ndarray:
         """Fast vectorized decode for integer coeff arrays (t < 2**31):
