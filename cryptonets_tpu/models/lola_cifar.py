@@ -46,7 +46,9 @@ def build(
             {
                 "w0": 83 * 3 * 64, "b0": 83,
                 "w1": 112 * 83 * 100, "b1": 112,
-                "w2": 10 * 112 * 9, "b2": 10,
+                # dense head over the conv-as-dense output: 112 maps x
+                # 7x7 windows = 5488 inputs
+                "w2": 10 * 112 * 49, "b2": 10,
             },
             seed=3,
         )
