@@ -73,6 +73,38 @@ class CrtBfvFactory:
         # extra launch costs ~40ms on relay-attached TPUs)
         self._encrypt_jit = jax.jit(self._encrypt_all)
         self._decrypt_jit = jax.jit(self._decrypt_all)
+        # device-side slot encoding: the encoder iNTT over Z_t runs
+        # on-chip inside the encrypt launch when every plain prime fits
+        # uint32 (uploads slots, not residues: k times smaller)
+        self._device_encode = all(
+            t < (1 << 31) and t < min(self.coeff_modulus)
+            for t in self.plain_primes
+        )
+        if self._device_encode:
+            from ..crypto.ntt import get_ntt_context
+
+            self._enc_ntt = [
+                get_ntt_context(n, (t,)) for t in self.plain_primes
+            ]
+            self._encrypt_dev_jit = jax.jit(self._encrypt_all_dev)
+
+    def _encrypt_all_dev(self, bufs, rng):
+        """bufs: [P, C, n] uint32 index-mapped slot values (mod t_p) ->
+        ciphertext data [P, C, 2, k, N]; the Z_t iNTT runs on device and
+        coefficients broadcast to the limb axis (t < every q_i)."""
+        import jax as _jax
+
+        rngs = _jax.random.split(rng, self.P)
+        k = len(self.coeff_modulus)
+        C = bufs.shape[1]
+        outs = []
+        for pi in range(self.P):
+            coeffs = self._enc_ntt[pi].inverse(bufs[pi][:, None, :])
+            res = jnp.broadcast_to(coeffs, (C, k, self.n))
+            outs.append(
+                self.bfv[pi].encrypt(self.keys, res, rngs[pi]).data
+            )
+        return jnp.stack(outs)
 
     def _encrypt_all(self, res_all, rng):
         """res_all [P, C, k, N] -> ciphertext data [P, C, 2, k, N]."""
@@ -275,6 +307,23 @@ class CrtBfvFactory:
 
     def _encrypt_slotsets(self, slotsets: np.ndarray) -> jnp.ndarray:
         """[C, n] slot values -> ciphertext data [P, C, 2, k, N]."""
+        if self._device_encode:
+            ss = slotsets
+            if ss.dtype == object:
+                try:
+                    ss = ss.astype(np.int64)
+                except (OverflowError, TypeError):
+                    ss = None
+            if ss is not None:
+                bufs = np.zeros((self.P,) + ss.shape, np.uint32)
+                for pi, t in enumerate(self.plain_primes):
+                    imap = self.encoders[pi].index_map
+                    bufs[pi][..., imap] = (
+                        ss.astype(np.int64) % t
+                    ).astype(np.uint32)
+                return self._encrypt_dev_jit(
+                    jnp.asarray(bufs), self.fresh_key()
+                )
         per_prime = self._encode_slotsets_np(slotsets)
         res_all = jnp.asarray(per_prime.astype(np.uint32))
         return self._encrypt_jit(res_all, self.fresh_key())

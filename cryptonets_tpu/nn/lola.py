@@ -210,13 +210,54 @@ class LLPackedDenseLayer(Layer):
     def apply(self, m):
         assert m.column_count == 1, "expecting only one column"
         vector = m.get_column(0)
-        cols = []
-        for k in range(self.weights_matrix.row_count):
-            mul = self.weights_matrix.get_row(k).dot_product(
-                vector, length=self.packing_shift
+        if not vector.is_encrypted:
+            cols = []
+            for k in range(self.weights_matrix.row_count):
+                mul = self.weights_matrix.get_row(k).dot_product(
+                    vector, length=self.packing_shift
+                )
+                cols.append(mul.add(self.bias_matrix.get_row(k)))
+            return self.factory.get_matrix(cols, "col")
+        # batched encrypted path: ONE rotation tree over all stacked rows
+        # (the per-row loop costs rows x log2(shift) key-switches; batching
+        # makes it log2(shift) total)
+        import jax.numpy as jnp
+
+        from ..api.matrix import _sum_slots_data
+        from ..api.vector import HEVector
+        from ..crypto.bfv import Ciphertext
+        from ..utils.opcount import OPS
+
+        f = self.factory
+        R = self.weights_matrix.row_count
+        Wf = jnp.stack(
+            [
+                self.weights_matrix.get_row(r).mult_form()
+                for r in range(R)
+            ],
+            axis=1,
+        )  # [P, R, C, k, N]
+        OPS.count("plain_multiplication", R)
+        prod = f.bfv[0].mul_plain(
+            Ciphertext(vector.data[:, None]), Wf[:, :, :, None]
+        ).data  # [P, R, C, 2, k, N]
+        sums = _sum_slots_data(f, prod, length=self.packing_shift)
+        bias_forms = jnp.stack(
+            [self.bias_matrix.get_row(r).add_form() for r in range(R)],
+            axis=1,
+        )
+        OPS.count("plain_addition", R)
+        out = f.add_plain_data(sums, bias_forms)  # [P, R, 1, 2, k, N]
+        out_scale = vector.scale * self.weights_matrix.scale
+        dim = self.packing_count * self.packing_shift
+        cols = [
+            HEVector(
+                f, data=out[:, r], dim=dim, scale=out_scale, fmt="dense",
+                is_signed=vector.is_signed,
             )
-            cols.append(mul.add(self.bias_matrix.get_row(k)))
-        return self.factory.get_matrix(cols, "col")
+            for r in range(R)
+        ]
+        return f.get_matrix(cols, "col")
 
 
 class LLInterleaveLayer(Layer):
@@ -241,10 +282,38 @@ class LLInterleaveLayer(Layer):
         self.mask = self.factory.get_plain_vector(mv, "dense", 1.0)
 
     def apply(self, m):
-        clean = [
-            m.get_column(i).pointwise_multiply(self.mask)
-            for i in range(m.column_count)
-        ]
+        col0 = m.get_column(0)
+        if col0.is_encrypted:
+            # one batched mask multiply over all columns
+            import jax.numpy as jnp
+
+            from ..api.vector import HEVector
+            from ..crypto.bfv import Ciphertext
+            from ..utils.opcount import OPS
+
+            f = self.factory
+            stacked = jnp.stack(
+                [m.get_column(i).data for i in range(m.column_count)],
+                axis=1,
+            )  # [P, V, C, 2, k, N]
+            mf = self.mask.mult_form()  # [P, C, k, N]
+            OPS.count("plain_multiplication", m.column_count)
+            cleaned = f.bfv[0].mul_plain(
+                Ciphertext(stacked), mf[:, None, :, None]
+            ).data
+            clean = [
+                HEVector(
+                    f, data=cleaned[:, i], dim=col0.dim,
+                    scale=col0.scale * self.mask.scale, fmt="dense",
+                    is_signed=col0.is_signed,
+                )
+                for i in range(m.column_count)
+            ]
+        else:
+            clean = [
+                m.get_column(i).pointwise_multiply(self.mask)
+                for i in range(m.column_count)
+            ]
         clean_mat = self.factory.get_matrix(clean, "col")
         interleaved = clean_mat.interleave(self.shift)
         return self.factory.get_matrix([interleaved], "col")

@@ -218,3 +218,59 @@ def test_duplicate_layer(fac):
     got = out.get_column(0).decrypt()
     for i in range(3):
         np.testing.assert_allclose(got[i * 4 : i * 4 + 3], [1, 2, 3])
+
+
+def test_packed_dense_interleave_encrypted(fac):
+    """LoLa packing pipeline (duplicate -> packed dense -> interleave ->
+    interleaved dense) encrypted vs raw, with the batched rotation tree."""
+    from cryptonets_tpu.nn import (
+        LLInterleavedDenseLayer,
+        LLInterleaveLayer,
+        LLPackedDenseLayer,
+    )
+
+    d = 4
+    count, shift = 4, 4  # shift must equal the duplicate stride
+    rec = [(0, RNG.integers(-3, 4, d).astype(float))]
+    w = RNG.integers(-2, 3, (8, d)).astype(float)  # 8 outputs
+    b = RNG.integers(-2, 3, 8).astype(float)
+    w2 = RNG.integers(-2, 3, (3, 8)).astype(float)
+    b2 = RNG.integers(-2, 3, 3).astype(float)
+    selected = [shift - 1 + i * shift for i in range(count)]
+
+    outs = {}
+    for name, factory in (("raw", RAW), ("enc", fac)):
+        reader = LLSingleLineReader(RAW, scale=1.0).set_source_records(
+            [(l, f.copy()) for l, f in rec]
+        )
+        chain = reader
+        if name == "enc":
+            chain = EncryptLayer(chain)
+            chain.factory = factory
+        dup = LLDuplicateLayer(chain, count=count)
+        # pad weights to the duplicate stride (4 -> stride 4): rows of
+        # length d placed at stride `shift`
+        packed = LLPackedDenseLayer(
+            dup,
+            weights=np.pad(w, ((0, 0), (0, 0))).ravel(),
+            bias=b,
+            packing_count=count,
+            packing_shift=shift,
+        )
+        inter = LLInterleaveLayer(
+            packed, shift=-1, selected_indices=selected,
+            input_gross_dimension=count * shift,
+        )
+        head = LLInterleavedDenseLayer(
+            inter, weights=w2.ravel(), bias=b2, shift=-1,
+            selected_indices=selected,
+        )
+        head.prepare_network()
+        out = head.get_next()
+        outs[name] = out.get_column(0).decrypt()[:3]
+    np.testing.assert_allclose(outs["enc"], outs["raw"])
+    # independent oracle
+    x = rec[0][1]
+    h = w @ x + b
+    want = w2 @ h + b2
+    np.testing.assert_allclose(outs["raw"], want)
