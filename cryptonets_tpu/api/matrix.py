@@ -28,6 +28,27 @@ COLUMN_MAJOR = "col"
 ROW_MAJOR = "row"
 
 
+def _scalar_residue_table(factory, values):
+    """Integer scalars -> ([V, k, 1] residues, [V, k, 1] Shoup) uint32.
+
+    An integer w acts identically on every plain prime's pipeline (the
+    ciphertext ring is mod q; decrypt reduces mod t), so the table is
+    shared across the P axis."""
+    from ..crypto.modular import shoup_precompute_host
+
+    qs = factory.coeff_modulus
+    V = len(values)
+    w = np.zeros((V, len(qs), 1), np.uint32)
+    sh = np.zeros_like(w)
+    for i, val in enumerate(values):
+        iv = int(val)
+        for li, q in enumerate(qs):
+            r = iv % q
+            w[i, li, 0] = r
+            sh[i, li, 0] = shoup_precompute_host(r, q)
+    return jnp.asarray(w), jnp.asarray(sh)
+
+
 def _sum_slots_data(factory, d, length=None):
     """Batched SumAllSlots on raw data [..., C, 2|3, k, N] -> [..., 1, s, k, N].
     Same rotation structure as HEVector.sum_all_slots."""
@@ -133,10 +154,22 @@ class HEMatrix:
             OPS.count("relinearization", 1)
             out = f.bfv[0].relinearize(Ciphertext(s3), f.keys).data
         elif self.is_encrypted:  # plain sparse weights (the conv hot path)
-            A = self._stacked_data()
-            W = v.mult_form()[:, :, None, None]  # [P, V, 1, 1, k, N]
+            # a sparse plain vector is per-element CONSTANT slots: its NTT
+            # form is the scalar itself, so multiply with Shoup constants
+            # instead of materialized plaintext polys (no encode, no
+            # [V, k, N] weight tensors)
+            from ..crypto.modular import mul_const_mod
+            from ..crypto.bfv import mod_sum as _msum
+
+            A = self._stacked_data()            # [P, V, C, 2, k, N]
+            w_col, w_sh = _scalar_residue_table(f, v.values)  # [V,k,1] x2
             OPS.count("plain_multiplication", ncols)
-            prod = f.bfv[0].mul_plain(Ciphertext(A), W).data
+            prod = mul_const_mod(
+                A,
+                w_col[None, :, None, None],  # -> [1, V, 1, 1, k, 1]
+                w_sh[None, :, None, None],
+                f.bfv[0].p.chain_q.q,
+            )
             out = mod_sum(prod, q, axis=1)
         elif v.is_encrypted:  # plain matrix, encrypted sparse vector
             W = self._stacked_mult_forms()[:, :, :, None]  # [P, V, C, 1, k, N]

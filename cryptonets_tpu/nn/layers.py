@@ -107,6 +107,135 @@ class PoolLayer(Layer):
             return self.factory.get_zero_vector(m.row_count, m.scale)
         return m.get_column(l)
 
+    def _apply_encrypted(self, m):
+        """Batched encrypted conv/dense: forward-NTT the input columns
+        ONCE, gather patch columns per offset in the NTT domain, multiply
+        by per-(map, offset) scalar constants, and inverse-NTT per map —
+        the reference instead runs maps x corners thread tasks each
+        re-touching the inputs (`PoolLayer.cs:149-229`)."""
+        import jax.numpy as jnp
+
+        from ..api.vector import HEVector
+        from ..crypto.modular import (
+            add_mod,
+            mul_const_mod,
+            shoup_precompute_host,
+        )
+        from ..utils.opcount import OPS
+
+        e = self.engine
+        f = self.factory
+        bfv0 = f.bfv[0]
+        ntt = bfv0.p.ntt_q
+        q = bfv0.p.chain_q.q
+        maps = e.maps
+        qs = f.coeff_modulus
+        src_scale = self.source.get_output_scale()
+
+        X = jnp.stack([v.data for v in m.vectors], axis=1)
+        Xh = ntt.forward(X)  # [P, Vin, C, 2, k, N]
+        Xh_ext = jnp.concatenate(
+            [Xh, jnp.zeros_like(Xh[:, :1])], axis=1
+        )
+        Vin = len(m.vectors)
+
+        def w_table(mi):
+            """[O, k, 1] residues+shoup of this map's scaled weights."""
+            O = len(e.offsets)
+            w = np.zeros((O, len(qs), 1), np.uint32)
+            sh = np.zeros_like(w)
+            for oi, off in enumerate(e.offsets):
+                l = e.location(
+                    None, off, e.kernel_shape, mi * self.kernel_size
+                )
+                wi = 0 if l < 0 else int(round(self.weights[l] * self.weights_scale))
+                for li, qq in enumerate(qs):
+                    r = wi % qq
+                    w[oi, li, 0] = r
+                    sh[oi, li, 0] = shoup_precompute_host(r, qq)
+            return jnp.asarray(w), jnp.asarray(sh)
+
+        if self.bias is not None:
+            bias_vals = list(self.bias[:maps])
+        else:
+            bias_vals = [
+                self.weights[(mi + 1) * self.kernel_size - 1]
+                for mi in range(maps)
+            ]
+        bias_scale = src_scale * self.weights_scale
+        rowcount = m.vectors[0].dim
+
+        map_outs = []
+        dense = len(e.corners) == 1
+        for mi in range(maps):
+            wt, wt_sh = w_table(mi)
+            acc = None
+            if dense:
+                idx = [
+                    e.location(e.corners[0], off, e.input_shape)
+                    for off in e.offsets
+                ]
+                idx = jnp.asarray([Vin if l < 0 else l for l in idx])
+                Xg = jnp.take(Xh_ext, idx, axis=1)  # [P, O, C, 2, k, N]
+                OPS.count("plain_multiplication", len(e.offsets))
+                prod = mul_const_mod(
+                    Xg, wt[None, :, None, None], wt_sh[None, :, None, None], q
+                )
+                from ..crypto.bfv import mod_sum
+
+                acc = mod_sum(prod, q, axis=1)[:, None]  # [P, 1, C, 2, k, N]
+            else:
+                for oi, off in enumerate(e.offsets):
+                    idx = [
+                        e.location(c, off, e.input_shape) for c in e.corners
+                    ]
+                    idx = jnp.asarray([Vin if l < 0 else l for l in idx])
+                    Xo = jnp.take(Xh_ext, idx, axis=1)  # [P, Co, C, 2, k, N]
+                    OPS.count("plain_multiplication", 1)
+                    term = mul_const_mod(
+                        Xo,
+                        wt[oi][None, None, None],
+                        wt_sh[oi][None, None, None],
+                        q,
+                    )
+                    acc = term if acc is None else add_mod(acc, term, q)
+            map_outs.append(acc)
+        stacked = jnp.concatenate(map_outs, axis=1)  # [P, maps*corners? ...]
+        out = ntt.inverse(stacked)  # coeff domain
+        # bias: per map, replicated over the batch rows (dense slots)
+        bias_forms = jnp.stack(
+            [
+                f.plain_add_form(
+                    np.full(rowcount, round(b * bias_scale), dtype=object),
+                    rowcount,
+                )
+                for b in bias_vals
+            ],
+            axis=1,
+        )  # [P, maps, C, k, N]
+        corners = len(e.corners)
+        out = out.reshape(
+            out.shape[0], maps, corners, *out.shape[2:]
+        )
+        OPS.count("plain_addition", maps)
+        out = f.add_plain_data(
+            out, bias_forms[:, :, None]
+        )  # [P, maps, 1, C, k, N] broadcasts over corners
+        cols = []
+        for mi in range(maps):
+            for ci in range(corners):
+                cols.append(
+                    HEVector(
+                        f,
+                        data=out[:, mi, ci],
+                        dim=rowcount,
+                        scale=bias_scale,
+                        fmt="dense",
+                        is_signed=m.vectors[0].is_signed,
+                    )
+                )
+        return f.get_matrix(cols, "col")
+
     def apply(self, m):
         e = self.engine
         if self.weights is None:  # mean pool
@@ -119,6 +248,9 @@ class PoolLayer(Layer):
                 agg.register_scale(agg.scale * len(e.offsets))
                 cols.append(agg)
             return self.factory.get_matrix(cols, "col")
+
+        if getattr(m, "vectors", None) is not None and m.vectors[0].is_encrypted:
+            return self._apply_encrypted(m)
 
         maps = e.maps
         src_scale = self.source.get_output_scale()

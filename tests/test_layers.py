@@ -274,3 +274,56 @@ def test_packed_dense_interleave_encrypted(fac):
     h = w @ x + b
     want = w2 @ h + b2
     np.testing.assert_allclose(outs["raw"], want)
+
+
+def test_pool_layer_encrypted_conv_and_dense(fac):
+    """Batched-encrypted PoolLayer (conv + dense-as-pool) vs raw backend."""
+    batch, hw = 3, 6
+    recs = [(0, RNG.integers(-2, 3, hw * hw).astype(float)) for _ in range(batch)]
+    w = RNG.integers(-2, 3, 9).astype(float)
+    b = np.array([1.0])
+    wd = RNG.integers(-2, 3, 2 * 4).astype(float)  # dense: 4 conv outs -> 2
+    bd = RNG.integers(-2, 3, 2).astype(float)
+
+    outs = {}
+    for name, factory in (("raw", RAW), ("enc", fac)):
+        reader = BatchReader(RAW, max_slots=batch, scale=1.0).set_source_records(
+            [(l, f.copy()) for l, f in recs]
+        )
+        chain = reader
+        if name == "enc":
+            chain = EncryptLayer(chain)
+            chain.factory = factory
+        conv = PoolLayer(
+            chain,
+            input_shape=[hw, hw],
+            kernel_shape=[3, 3],
+            stride=[2, 2],
+            weights=w,
+            bias=b,
+            map_count=[1],
+        )
+        dense = PoolLayer(
+            conv,
+            input_shape=[4],
+            kernel_shape=[4],
+            stride=[100],
+            map_count=[2],
+            weights=wd,
+            bias=bd,
+        )
+        dense.prepare_network()
+        outs[name] = dense.get_next().decrypt()
+    np.testing.assert_allclose(outs["enc"], outs["raw"])
+    # oracle for record 0
+    im = recs[0][1].reshape(hw, hw)
+    kern = w.reshape(3, 3)
+    conv_vals = np.array(
+        [
+            (im[i : i + 3, j : j + 3] * kern).sum() + 1.0
+            for i in range(0, hw - 2, 2)
+            for j in range(0, hw - 2, 2)
+        ]
+    )
+    want = wd.reshape(2, 4) @ conv_vals + bd
+    np.testing.assert_allclose(outs["raw"][0], want)
