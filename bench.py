@@ -5,10 +5,11 @@ Baseline: 2.2 s published single-image latency (BASELINE.md north star);
 vs_baseline > 1 means faster than the reference.
 
 Env knobs:
-  BENCH_NETWORK = LoLa | LoLaSmall   (default LoLaSmall: the shortest
-                   real network; LoLa is the full published pipeline)
+  BENCH_NETWORK = LoLa | LoLaSmall   (default LoLa: the full published
+                   pipeline behind the 2.2 s baseline)
   BENCH_RECORDS = number of timed records (default 3)
   BENCH_PLATFORM = cpu to force CPU
+  BENCH_FUSE = 0 to disable the fused single-launch pipeline
 """
 
 from __future__ import annotations
@@ -37,8 +38,9 @@ def main():
     from cryptonets_tpu.models import lola_mnist
     from cryptonets_tpu.nn.jit import EncryptedForward
 
-    network = os.environ.get("BENCH_NETWORK", "LoLaSmall")
+    network = os.environ.get("BENCH_NETWORK", "LoLa")
     n_records = int(os.environ.get("BENCH_RECORDS", "3"))
+    fuse = os.environ.get("BENCH_FUSE", "1") != "0"
     builder = lola_mnist.BUILDERS[network]
 
     records = synthetic_mnist_records(n_records + 1, seed=11)
@@ -48,7 +50,8 @@ def main():
     keygen_s = time.time() - t0
     print(f"# factory+keygen+prepare: {keygen_s:.1f}s", file=sys.stderr)
 
-    fwd = EncryptedForward(head, jit=True)
+    fwd = EncryptedForward(head, jit=True, fuse_io=fuse)
+    print(f"# fused single-launch pipeline: {fwd.fuse_io}", file=sys.stderr)
     # warm-up record: trace + compile
     t0 = time.time()
     m = fwd()

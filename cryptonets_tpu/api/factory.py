@@ -87,6 +87,27 @@ class CrtBfvFactory:
                 get_ntt_context(n, (t,)) for t in self.plain_primes
             ]
             self._encrypt_dev_jit = jax.jit(self._encrypt_all_dev)
+        # device-side slot DECODE (forward NTT over Z_t on-chip): decrypt
+        # returns slot values, not coefficients, so the host does only the
+        # tiny CRT join (the reference decodes in native C++ behind
+        # BatchEncoder.Decode; here decode fuses into the decrypt launch)
+        self._device_decode = all(t < (1 << 31) for t in self.plain_primes)
+        if self._device_decode:
+            from ..crypto.ntt import get_ntt_context
+
+            self._dec_ntt = get_ntt_context(n, self.plain_primes)
+            self._index_map = jnp.asarray(self.encoders[0].index_map)
+            self._decrypt_decode_jit = jax.jit(self._decrypt_decode_all)
+
+    def _decrypt_decode_all(self, data):
+        """[P, C, size, k, N] -> slot values mod t_p [P, C, N] (uint32).
+        One program: gamma decrypt + forward NTT over Z_t + slot gather."""
+        res = self._decrypt_all(data)              # [P, C, N] coeffs mod t
+        ev = self._dec_ntt.forward(
+            jnp.swapaxes(res, 0, 1)                # [C, P, N]: P = limb axis
+        )
+        slots = jnp.take(ev, self._index_map, axis=-1)
+        return jnp.swapaxes(slots, 0, 1)           # [P, C, N]
 
     def _encrypt_all_dev(self, bufs, rng):
         """bufs: [P, C, n] uint32 index-mapped slot values (mod t_p) ->
@@ -180,24 +201,30 @@ class CrtBfvFactory:
         """[P, C, 2|3, k, N] -> centered big-int slot values [dim]."""
         from ..crypto.bfv import Ciphertext
 
+        if self._device_decode:
+            return self.join_decoded_blocks(
+                np.asarray(self._decrypt_decode_jit(data)), dim
+            )
         per_prime = []
-        device_path = all(t < (1 << 31) for t in self.plain_primes)
-        if device_path:
-            res_all = np.asarray(self._decrypt_jit(data))  # [P, C, N]
         for pi in range(self.P):
-            if device_path:
-                slots = self.encoders[pi].decode_int(res_all[pi]).reshape(-1)
-            else:
-                coeffs = self.bfv[pi].decrypt(
-                    self.keys, Ciphertext(data[pi])
-                )  # [C, N] object
-                slots = np.concatenate(
-                    [
-                        self.encoders[pi].decode(coeffs[b])
-                        for b in range(coeffs.shape[0])
-                    ]
-                )
+            coeffs = self.bfv[pi].decrypt(
+                self.keys, Ciphertext(data[pi])
+            )  # [C, N] object
+            slots = np.concatenate(
+                [
+                    self.encoders[pi].decode(coeffs[b])
+                    for b in range(coeffs.shape[0])
+                ]
+            )
             per_prime.append(slots[:dim])
+        return self.join_split_numbers(per_prime)
+
+    def join_decoded_blocks(self, slots_all: np.ndarray, dim: int):
+        """Decoded slot residues [P, C, N] -> centered big-int values [dim]."""
+        per_prime = [
+            slots_all[pi].reshape(-1)[:dim].astype(np.int64)
+            for pi in range(self.P)
+        ]
         return self.join_split_numbers(per_prime)
 
     # --------------------------------------------- prepared plaintext forms
@@ -305,6 +332,16 @@ class CrtBfvFactory:
             ]
         )
 
+    def encode_bufs(self, slotsets_int: np.ndarray) -> np.ndarray:
+        """[..., n] integer slot values -> index-mapped [P, ..., n] uint32
+        buffers for the device-side encode (the only host work of encrypt)."""
+        s64 = slotsets_int.astype(np.int64)
+        bufs = np.zeros((self.P,) + s64.shape, np.uint32)
+        for pi, t in enumerate(self.plain_primes):
+            imap = self.encoders[pi].index_map
+            bufs[pi][..., imap] = (s64 % t).astype(np.uint32)
+        return bufs
+
     def _encrypt_slotsets(self, slotsets: np.ndarray) -> jnp.ndarray:
         """[C, n] slot values -> ciphertext data [P, C, 2, k, N]."""
         if self._device_encode:
@@ -315,14 +352,8 @@ class CrtBfvFactory:
                 except (OverflowError, TypeError):
                     ss = None
             if ss is not None:
-                bufs = np.zeros((self.P,) + ss.shape, np.uint32)
-                for pi, t in enumerate(self.plain_primes):
-                    imap = self.encoders[pi].index_map
-                    bufs[pi][..., imap] = (
-                        ss.astype(np.int64) % t
-                    ).astype(np.uint32)
                 return self._encrypt_dev_jit(
-                    jnp.asarray(bufs), self.fresh_key()
+                    jnp.asarray(self.encode_bufs(ss)), self.fresh_key()
                 )
         per_prime = self._encode_slotsets_np(slotsets)
         res_all = jnp.asarray(per_prime.astype(np.uint32))

@@ -53,6 +53,10 @@ class HEVector:
         self.is_signed = is_signed
         self._mult_form = None
         self._add_form = None
+        # decoded slot residues [P, C, N] computed on-device inside a fused
+        # forward+decrypt program (nn/jit.py); decrypt() then skips its own
+        # device launch and only does the host CRT join
+        self._dec_slots = None
 
     # ------------------------------------------------------------ properties
     @property
@@ -448,6 +452,15 @@ class HEVector:
                 "this factory was loaded without a secret key; "
                 "decryption is disabled (ref AtomicSealBfvVector.cs:121-128)"
             )
+        if self._dec_slots is not None:
+            slots_all = np.asarray(self._dec_slots)  # [P, C, N]
+            if self.fmt == SPARSE:
+                per = [
+                    slots_all[pi, :, 0].astype(np.int64)[: self.dim]
+                    for pi in range(p.P)
+                ]
+                return p.join_split_numbers(per)
+            return p.join_decoded_blocks(slots_all, self.dim)
         if self.fmt == SPARSE:
             # value of block c replicated in slots: read flat slot 0
             vals = p.decrypt_blocks(self.data, p.n * self.num_blocks)

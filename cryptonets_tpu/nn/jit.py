@@ -37,11 +37,26 @@ class EncryptedForward:
     Usage:
         fwd = EncryptedForward(head)   # after head.prepare_network()
         out_matrix = fwd()             # pulls one record end to end
+
+    With fuse_io=True (and a factory whose plain primes all fit uint32)
+    the ENTIRE record pipeline — slot encode, RLWE encrypt, the network,
+    gamma decrypt and slot decode — compiles into ONE device program, so a
+    record costs a single launch; the host only index-maps input slots and
+    CRT-joins the decoded outputs.  The computation is identical to the
+    3-launch path (same kernels, same ciphertexts); only launch/transfer
+    overhead is removed.
     """
 
-    def __init__(self, head: Layer, jit: bool = True):
+    def __init__(self, head: Layer, jit: bool = True, fuse_io: bool = False):
         self.encrypt_layer, self.layers = split_at_encrypt(head)
         self.use_jit = jit
+        fac = self.encrypt_layer.factory
+        self.fuse_io = bool(
+            fuse_io
+            and jit
+            and getattr(fac, "_device_encode", False)
+            and getattr(fac, "_device_decode", False)
+        )
         self._jitted = None
         self._out_meta = None
         self._in_meta = None
@@ -93,11 +108,70 @@ class EncryptedForward:
         ]
         return HEMatrix(fac, vecs, self._capture["fmt"])
 
+    # ------------------------------------------------- fused one-launch path
+    def _build_fused(self, V: int, C: int, dim: int, scale: float):
+        fac = self.encrypt_layer.factory
+        capture = {}
+
+        def forward(bufs, rng):
+            # bufs: [P, V*C, n] index-mapped slot residues
+            data = fac._encrypt_all_dev(bufs, rng)  # [P, V*C, 2, k, N]
+            data = data.reshape(fac.P, V, C, *data.shape[2:])
+            vecs = [
+                HEVector(
+                    fac, data=data[:, i], dim=dim, scale=scale, fmt="dense"
+                )
+                for i in range(V)
+            ]
+            m = HEMatrix(fac, vecs, "col")
+            for layer in self.layers:
+                m = layer.apply(m)
+            capture["meta"] = [
+                (v.dim, v.scale, v.fmt, v.is_signed) for v in m.vectors
+            ]
+            capture["fmt"] = m.fmt
+            return (
+                [v.data for v in m.vectors],
+                [fac._decrypt_decode_all(v.data) for v in m.vectors],
+            )
+
+        self._in_meta = ("fused", V, C, dim, scale)
+        self._capture = capture
+        self._jitted = jax.jit(forward)
+
+    def _run_fused(self, raw) -> HEMatrix:
+        fac = self.encrypt_layer.factory
+        import numpy as np
+
+        vecs = np.asarray(raw.m, dtype=np.float64).T  # [V, dim] scaled ints
+        V, dim = vecs.shape
+        n = fac.n
+        C = max(1, -(-dim // n))
+        key = ("fused", V, C, dim, float(raw.scale))
+        if self._jitted is None or self._in_meta != key:
+            self._build_fused(V, C, dim, float(raw.scale))
+        padded = np.zeros((V, C * n), np.int64)
+        padded[:, :dim] = np.round(vecs).astype(np.int64)
+        bufs = fac.encode_bufs(padded.reshape(V * C, n))
+        out_datas, out_slots = self._jitted(bufs, fac.fresh_key())
+        out_vecs = []
+        for d, s, (vdim, vsc, vf, vsg) in zip(
+            out_datas, out_slots, self._capture["meta"]
+        ):
+            hv = HEVector(
+                fac, data=d, dim=vdim, scale=vsc, fmt=vf, is_signed=vsg
+            )
+            hv._dec_slots = s
+            out_vecs.append(hv)
+        return HEMatrix(fac, out_vecs, self._capture["fmt"])
+
     def __call__(self):
         """Pull one record through reader -> encrypt -> jitted network."""
         raw = self.reader.get_next()
         if raw is None:
             return None
+        if self.fuse_io:
+            return self._run_fused(raw)
         enc = self.encrypt_layer.apply(raw)
         return self.run_encrypted(enc)
 

@@ -327,3 +327,43 @@ def test_pool_layer_encrypted_conv_and_dense(fac):
     )
     want = wd.reshape(2, 4) @ conv_vals + bd
     np.testing.assert_allclose(outs["raw"][0], want)
+
+
+def test_fused_single_launch_pipeline(fac):
+    """EncryptedForward(fuse_io=True) — encode+encrypt+network+decrypt+
+    decode as ONE program — matches the 3-launch path exactly."""
+    from cryptonets_tpu.nn.jit import EncryptedForward
+
+    hw = 4
+    rec = [(1, RNG.integers(-2, 3, hw * hw).astype(float)) for _ in range(2)]
+    w_conv = RNG.integers(-2, 3, 4).astype(float)
+    w_fc = RNG.integers(-2, 3, (3, 4)).astype(float)
+    b_fc = RNG.integers(-2, 3, 3).astype(float)
+
+    def build():
+        reader = LLConvReader(
+            RAW, input_shape=[hw, hw], kernel_shape=[2, 2],
+            stride=[2, 2], scale=1.0,
+        ).set_source_records([(l, f.copy()) for l, f in rec])
+        chain = EncryptLayer(reader)
+        chain.factory = fac
+        conv = LLPoolLayer(
+            chain, input_shape=[hw, hw], kernel_shape=[2, 2],
+            stride=[2, 2], map_count=[1], weights=w_conv,
+            bias=np.array([1.0]),
+        )
+        sq = SquareActivation(conv)
+        vec = LLVectorizeLayer(sq, output_dim=4)
+        fc = LLDenseLayer(
+            vec, weights=w_fc.ravel(), bias=b_fc, input_format="dense"
+        )
+        fc.prepare_network()
+        return fc
+
+    fwd_plain = EncryptedForward(build(), jit=True, fuse_io=False)
+    fwd_fused = EncryptedForward(build(), jit=True, fuse_io=True)
+    assert fwd_fused.fuse_io, "fused path should activate for uint32 primes"
+    for _ in range(2):
+        a = fwd_plain().get_column(0).decrypt()[:3]
+        b = fwd_fused().get_column(0).decrypt()[:3]
+        np.testing.assert_allclose(a, b)
