@@ -43,6 +43,8 @@ class CrtBfvFactory:
         dbc: int = 16,
         seed: int = 0,
         rot_steps=(),
+        n_special: int = 0,
+        ks_alpha: int = 0,
         _skip_keygen: bool = False,
     ):
         self.n = n
@@ -53,7 +55,10 @@ class CrtBfvFactory:
             chain = chain[:coeff_count]
         self.coeff_modulus = chain
         self.params = [
-            BFVParams(n, t, coeff_modulus=chain, dbc=dbc, seed=seed)
+            BFVParams(
+                n, t, coeff_modulus=chain, dbc=dbc, seed=seed,
+                n_special=n_special, ks_alpha=ks_alpha,
+            )
             for t in self.plain_primes
         ]
         self.bfv = [BFV(p) for p in self.params]
@@ -98,6 +103,33 @@ class CrtBfvFactory:
             self._dec_ntt = get_ntt_context(n, self.plain_primes)
             self._index_map = jnp.asarray(self.encoders[0].index_map)
             self._decrypt_decode_jit = jax.jit(self._decrypt_decode_all)
+        # big plain moduli (CryptoNets/CIFAR): device scale-and-round to
+        # two uint32 planes, exact int64 host join, C++ slot decode
+        self._device_decode_big = all(
+            (1 << 31) <= t < (1 << 62) for t in self.plain_primes
+        )
+        if self._device_decode_big:
+            self._decrypt_big_jit = jax.jit(self._decrypt_big_all)
+
+    def _decrypt_big_all(self, data):
+        """[P, C, size, k, N] -> (W mod 2^32, W mod m2) uint32 [P, C, N]."""
+        from ..crypto.bfv import Ciphertext
+
+        los, m2s = [], []
+        for pi in range(self.P):
+            lo, m2 = self.bfv[pi].decrypt_big_t_planes(
+                self.keys, Ciphertext(data[pi])
+            )
+            los.append(lo)
+            m2s.append(m2)
+        return jnp.stack(los), jnp.stack(m2s)
+
+    def _decode_big_slots(self, lo, m2, pi: int) -> np.ndarray:
+        """Join planes + slot-decode for prime pi: [C, N] -> [C*n] object."""
+        W = self.bfv[pi].join_big_t_planes(lo, m2)  # [C, N] uint64
+        return np.concatenate(
+            [self.encoders[pi].decode(W[b]) for b in range(W.shape[0])]
+        )
 
     def _decrypt_decode_all(self, data):
         """[P, C, size, k, N] -> slot values mod t_p [P, C, N] (uint32).
@@ -173,13 +205,19 @@ class CrtBfvFactory:
 
     def join_split_numbers(self, residues) -> np.ndarray:
         """Per-prime slot values -> centered big ints (ref JoinSplitNumbers,
-        `EncryptedSealBfvVector.cs:381-411`)."""
-        out = np.empty(len(residues[0]), dtype=object)
-        for i in range(len(out)):
-            out[i] = self.plain_crt.compose_centered(
-                [int(r[i]) for r in residues]
-            )
-        return out
+        `EncryptedSealBfvVector.cs:381-411`).  Vectorized object-dtype CRT
+        (any input shape; all residue arrays must share it)."""
+        crt = self.plain_crt
+        M = crt.product
+        acc = None
+        for r, t, p_i, ip_i in zip(
+            residues, self.plain_primes, crt.punctured, crt.inv_punctured
+        ):
+            unit = (p_i * ip_i) % M
+            term = (np.asarray(r, dtype=object) % t) * unit
+            acc = term if acc is None else acc + term
+        acc = acc % M
+        return np.where(acc > M >> 1, acc - M, acc)
 
     # ------------------------------------------------- slot-domain encoding
     def encode_slots_to_residues(self, slots, prime_idx: int) -> np.ndarray:
@@ -205,6 +243,14 @@ class CrtBfvFactory:
             return self.join_decoded_blocks(
                 np.asarray(self._decrypt_decode_jit(data)), dim
             )
+        if self._device_decode_big:
+            lo, m2 = self._decrypt_big_jit(data)
+            lo, m2 = np.asarray(lo), np.asarray(m2)
+            per_prime = [
+                self._decode_big_slots(lo[pi], m2[pi], pi)[:dim]
+                for pi in range(self.P)
+            ]
+            return self.join_split_numbers(per_prime)
         per_prime = []
         for pi in range(self.P):
             coeffs = self.bfv[pi].decrypt(
@@ -218,6 +264,36 @@ class CrtBfvFactory:
             )
             per_prime.append(slots[:dim])
         return self.join_split_numbers(per_prime)
+
+    def decrypt_columns(self, data, dim: int) -> np.ndarray:
+        """Batched matrix decrypt: [P, V, C, size, k, N] -> [V, dim]
+        centered big ints, ONE device launch for all V columns (the
+        reference decrypts per column in thread tasks)."""
+        P, V, C = data.shape[:3]
+        flat = data.reshape(P, V * C, *data.shape[3:])
+        if self._device_decode:
+            slots = np.asarray(self._decrypt_decode_jit(flat))
+            slots = slots.reshape(P, V, C * self.n)
+            return self.join_split_numbers(
+                [slots[pi, :, :dim] for pi in range(P)]
+            )
+        if self._device_decode_big:
+            lo, m2 = self._decrypt_big_jit(flat)
+            lo = np.asarray(lo).reshape(P, V, C, self.n)
+            m2 = np.asarray(m2).reshape(P, V, C, self.n)
+            per_prime = [
+                np.stack(
+                    [
+                        self._decode_big_slots(lo[pi, v], m2[pi, v], pi)[:dim]
+                        for v in range(V)
+                    ]
+                )
+                for pi in range(P)
+            ]
+            return self.join_split_numbers(per_prime)
+        return np.stack(
+            [self.decrypt_blocks(data[:, v], dim) for v in range(V)]
+        )
 
     def join_decoded_blocks(self, slots_all: np.ndarray, dim: int):
         """Decoded slot residues [P, C, N] -> centered big-int values [dim]."""

@@ -246,6 +246,48 @@ class HEMatrix:
 
     def elementwise_multiply(self, other: "HEMatrix") -> "HEMatrix":
         assert self.fmt == other.fmt and len(self.vectors) == len(other.vectors)
+        V = len(self.vectors)
+        if (
+            V > 1
+            and self.is_encrypted
+            and other.is_encrypted
+            and all(v.data.shape == self.vectors[0].data.shape for v in self.vectors)
+            and all(v.data.shape == other.vectors[0].data.shape for v in other.vectors)
+        ):
+            # batched ct x ct multiply: stack the vector axis and run the
+            # BEHZ multiply + relin over column CHUNKS (bounding the live
+            # Bsk-extended temporaries) instead of V separate single-column
+            # programs (the reference runs V thread tasks,
+            # `EncryptedSealBfvMatrix.cs:140-154`)
+            f = self.factory
+            A = self._stacked_data()  # [P, V, C, 2, k, N]
+            B = other._stacked_data()
+            OPS.count("multiplication", V)
+            OPS.count("relinearization", V)
+            chunk = 128
+            per = []
+            for pi, bfv in enumerate(f.bfv):
+                outs = []
+                for lo in range(0, V, chunk):
+                    prod = bfv.multiply(
+                        Ciphertext(A[pi, lo : lo + chunk]),
+                        Ciphertext(B[pi, lo : lo + chunk]),
+                    )
+                    outs.append(bfv.relinearize(prod, f.keys).data)
+                per.append(jnp.concatenate(outs, axis=0))
+            out = jnp.stack(per)  # [P, V, C, 2, k, N]
+            vecs = [
+                HEVector(
+                    f,
+                    data=out[:, i],
+                    dim=a.dim,
+                    scale=a.scale * b.scale,
+                    fmt=a.fmt,
+                    is_signed=a.is_signed,
+                )
+                for i, (a, b) in enumerate(zip(self.vectors, other.vectors))
+            ]
+            return HEMatrix(f, vecs, self.fmt)
         return HEMatrix(
             self.factory,
             [
@@ -267,7 +309,25 @@ class HEMatrix:
     # --------------------------------------------------------------- decrypt
     def decrypt(self) -> np.ndarray:
         """[dim, nvec] array of floats (column-major orientation)."""
-        cols = [v.decrypt() for v in self.vectors]
+        vs = self.vectors
+        if (
+            self.is_encrypted
+            and len(vs) > 1
+            and all(v._dec_slots is None for v in vs)
+            and all(v.fmt == DENSE for v in vs)
+            and all(v.data.shape == vs[0].data.shape for v in vs)
+            and all(v.dim == vs[0].dim for v in vs)
+        ):
+            # one launch + one vectorized CRT join for ALL columns
+            vals = self.factory.decrypt_columns(
+                self._stacked_data(), vs[0].dim
+            )  # [V, dim] object
+            cols = [
+                np.array([float(x) for x in vals[i]]) / vs[i].scale
+                for i in range(len(vs))
+            ]
+            return np.stack(cols, axis=1)
+        cols = [v.decrypt() for v in vs]
         return np.stack(cols, axis=1)
 
     def __repr__(self):

@@ -126,6 +126,8 @@ class BFVParams:
         coeff_modulus: tuple[int, ...] | None = None,
         dbc: int = 16,
         seed: int = 0,
+        n_special: int = 0,
+        ks_alpha: int = 0,
     ):
         self.n = n
         self.t = int(plain_modulus)
@@ -134,6 +136,17 @@ class BFVParams:
         self.k = len(qs)
         self.dbc = dbc
         self.seed = seed
+        # Key-switch mode.  n_special > 0 selects hybrid (special-prime)
+        # key switching with RNS groups of data limbs; ks_alpha > 0 with
+        # n_special == 0 selects P-less RNS-group switching (groups of
+        # ks_alpha limbs, no modulus extension: fewer NTTs than digit
+        # decomposition at ~31*alpha bits of key-switch noise — for
+        # networks whose budget slack dwarfs it).  Both 0 keeps
+        # SEAL-3.2-style digit decomposition (DBC).
+        # See _switch_key_inner_hybrid.
+        self.n_special = int(n_special)
+        self.ks_alpha = int(ks_alpha) if ks_alpha else int(n_special)
+        self.ks_hybrid = self.n_special > 0 or self.ks_alpha > 0
         assert (1 << dbc) < min(qs), "digit width must fit smallest limb"
         self.digits_per_limb = -(-max(q.bit_length() for q in qs) // dbc)
 
@@ -182,8 +195,46 @@ class BFVParams:
         )
         # ---- BEHZ gamma-correction decrypt (device scale-and-round):
         # valid when t < 2**31 (the LoLa/Caltech/default configs); larger
-        # plain moduli use the exact host path.
+        # plain moduli (CryptoNets/CIFAR, t < 2**62) use the two-plane
+        # variant below: W = round(t*x/q) mod {2^32 (wrap), m2}, corrected
+        # by gamma, joined exactly on host in vectorized int64.
         self.gamma = None
+        self.big_gamma = None
+        if self.t >= (1 << 31) and self.t < (1 << 62):
+            from .primes import ntt_primes
+
+            cand = ntt_primes(n, 31, self.k + len(aux) + 6)
+            picks = [c for c in cand if c not in qs and c not in aux][:2]
+            m2, g = picks[0], picks[1]  # descending scan => g < m2
+            self.big_gamma, self.big_m2 = g, m2
+            self.chain_g2 = ModChain([m2, g])
+            self.big_gt_mod_q = self.chain_q.scalar_shoup_col(self.t * g)
+            self.punct_q_to_g2 = self._punct_matrix(
+                self.crt_q.punctured, self.chain_g2
+            )
+            M32 = 1 << 32
+            self.punct_q_to_m1 = jnp.asarray(
+                np.array(
+                    [int(p) % M32 for p in self.crt_q.punctured],
+                    np.uint32,
+                ).reshape(-1, 1)
+            )
+            m2c = ModChain([m2])
+            self.big_m2_chain = m2c
+            # gamma plane: s_g = -conv_y * q^{-1} mod gamma (gt*x = 0 mod g)
+            self.big_neg_qinv_g = ModChain([g]).scalar_shoup_col(
+                (-modinv(self.q_big % g, g)) % g
+            )
+            # m2 / 2^32 planes carry V' = (gt*conv_x - conv_y) * q^{-1}
+            self.big_gt_m2 = m2c.scalar_shoup_col(self.t * g)
+            self.big_qinv_m2 = m2c.scalar_shoup_col(
+                modinv(self.q_big % m2, m2)
+            )
+            self.big_gamma_mod_m2 = m2c.scalar_shoup_col(g)
+            self.big_ginv_m2 = m2c.scalar_shoup_col(modinv(g % m2, m2))
+            self.big_gt_m1 = jnp.uint32((self.t * g) % M32)
+            self.big_qinv_m1 = jnp.uint32(modinv(self.q_big % M32, M32))
+            self.big_ginv_m1 = jnp.uint32(modinv(g, M32))
         if self.t < (1 << 31):
             from .primes import ntt_primes
 
@@ -225,6 +276,90 @@ class BFVParams:
             [modinv(B_big % self.msk, self.msk)]
         )
         self.B_mod_q = self.chain_q.scalar_shoup_col(B_big)
+
+        # ---- hybrid (special-prime) key switching (GHS/HPS style).
+        # Switch keys live mod Q*P (P = n_special extra primes); the input
+        # poly is decomposed into omega RNS groups of n_special data limbs,
+        # each base-extended to Q*P — omega*(k+a) limb NTTs per switch vs
+        # k*D*k for digit decomposition, and ~2^dbc less key-switch noise.
+        # (SEAL >= 3.4 uses the same construction; SEAL 3.2 = digit mode.)
+        if self.ks_hybrid:
+            a = self.n_special
+            g = self.ks_alpha
+            # selection must depend only on (n, qs): the CRT plain-prime
+            # factory shares ONE key set across plain moduli, so every
+            # BFVParams in it must agree on the special primes (t and
+            # gamma never meet P in any op, so collisions are harmless)
+            used = set(qs) | set(aux)
+            from .primes import ntt_primes
+
+            pool = ntt_primes(n, 31, self.k + len(aux) + a + 8)
+            sp = tuple(c for c in pool if c not in used)[:a]
+            assert len(sp) == a, "not enough special primes"
+            self.sp_list = sp
+            qp = qs + sp
+            self.qp_list = qp
+            self.chain_qp = ModChain(qp)
+            self.ntt_qp = get_ntt_context(n, qp)
+            self.P_big = 1
+            for m in sp:
+                self.P_big *= m
+            # groups of data limbs
+            self.ks_groups = [
+                (i0, min(i0 + g, self.k)) for i0 in range(0, self.k, g)
+            ]
+            self.ks_omega = len(self.ks_groups)
+            # per-limb inverse of the within-group punctured product
+            inv_grp = []
+            grp_w = np.zeros((self.k, len(qp)), np.uint32)
+            grp_w_sh = np.zeros_like(grp_w)
+            pqt = np.zeros((self.ks_omega, len(qp)), np.uint32)
+            pqt_sh = np.zeros_like(pqt)
+            for gi, (i0, i1) in enumerate(self.ks_groups):
+                Qj = 1
+                for i in range(i0, i1):
+                    Qj *= qs[i]
+                for i in range(i0, i1):
+                    pj = Qj // qs[i]
+                    inv_grp.append(modinv(pj % qs[i], qs[i]))
+                    for mi, m in enumerate(qp):
+                        v = pj % m
+                        grp_w[i, mi] = v
+                        grp_w_sh[i, mi] = shoup_precompute_host(v, m)
+                # P * Q~_j mod each qp limb (Q~_j = CRT unit of group j)
+                Qoj = self.q_big // Qj
+                Qtilde = Qoj * modinv(Qoj % Qj, Qj)
+                val = self.P_big * Qtilde
+                for mi, m in enumerate(qp):
+                    v = val % m
+                    pqt[gi, mi] = v
+                    pqt_sh[gi, mi] = shoup_precompute_host(v, m)
+            self.ks_inv_punct_grp = self.chain_q.shoup_col(inv_grp)
+            self.ks_grp_conv = (
+                jnp.asarray(grp_w[:, :, None]),
+                jnp.asarray(grp_w_sh[:, :, None]),
+            )
+            self.ks_pqt = (
+                jnp.asarray(pqt[:, :, None]),
+                jnp.asarray(pqt_sh[:, :, None]),
+            )
+            # mod-down P -> q tables (rounded division by P); P-less
+            # (ks_alpha) mode has no extension and skips the mod-down
+            if a > 0:
+                self.chain_sp = ModChain(sp)
+                crt_sp = CRT(list(sp))
+                self.ks_inv_punct_sp = self.chain_sp.shoup_col(
+                    crt_sp.inv_punctured
+                )
+                self.ks_punct_sp_to_q = self._punct_matrix(
+                    crt_sp.punctured, self.chain_q
+                )
+                ph = self.P_big >> 1
+                self.ks_phalf_sp = self.chain_sp.shoup_col([ph] * a)[0]
+                self.ks_phalf_q = self.chain_q.shoup_col([ph] * self.k)[0]
+                self.ks_pinv_q = self.chain_q.shoup_col(
+                    [modinv(self.P_big % q, q) for q in qs]
+                )
 
     def _punct_matrix(self, punctured, to_chain: ModChain):
         """[Lf, Lt, 1] constant matrix |punct_i|_{m_t} with Shoup, for
@@ -322,6 +457,9 @@ class BFV:
         self._switch_key_inner = jax.jit(self._switch_key_inner)
         self.mul_plain = jax.jit(self.mul_plain)
         self._make_switch_keys_batched = jax.jit(self._make_switch_keys_batched)
+        self._make_switch_keys_batched_hybrid = jax.jit(
+            self._make_switch_keys_batched_hybrid
+        )
 
     # ------------------------------------------------------------------ keys
     def keygen(self, seed: int | None = None, rot_steps=(), column_key=True):
@@ -363,25 +501,42 @@ class BFV:
         g_list = list(galois)
 
         # all switch-key targets at once: s^2 then sigma_g(s) per element
+        hybrid = p.ks_hybrid
+        if hybrid:
+            # switch keys live mod Q*P: targets and s over the extended base
+            ck = p.chain_qp
+            nttk = p.ntt_qp
+            sk_hat = nttk.forward(
+                sampling.small_to_residues(s_small, ck.q)
+            )
+            sk_mont = ck.to_mont(sk_hat)
+            tgt_s2 = ck.mont_mul(sk_hat, sk_mont)
+        else:
+            ck, nttk, sk_mont, tgt_s2 = (
+                p.chain_q, p.ntt_q, s_mont, s2_hat
+            )
         sg_smalls = []
         for g in g_list:
             srcg, negm = _automorphism_tables(p.n, g)
             sg_smalls.append(jnp.where(negm, -s_small[srcg], s_small[srcg]))
         targets = jnp.concatenate(
             [
-                s2_hat[None],
-                p.ntt_q.forward(
+                tgt_s2[None],
+                nttk.forward(
                     sampling.small_to_residues(
-                        jnp.stack(sg_smalls), p.chain_q.q
+                        jnp.stack(sg_smalls), ck.q
                     )
                 )
                 if g_list
-                else jnp.zeros((0,) + s2_hat.shape, s2_hat.dtype),
+                else jnp.zeros((0,) + tgt_s2.shape, tgt_s2.dtype),
             ]
         )
-        k0_all, k1_all = self._make_switch_keys_batched(
-            targets, s_mont, next(ks)
+        maker = (
+            self._make_switch_keys_batched_hybrid
+            if hybrid
+            else self._make_switch_keys_batched
         )
+        k0_all, k1_all = maker(targets, sk_mont, next(ks))
         relin = SwitchKeys(k0=k0_all[0], k1=k1_all[0])
         for gi, g in enumerate(g_list):
             galois[g] = SwitchKeys(k0=k0_all[gi + 1], k1=k1_all[gi + 1])
@@ -444,6 +599,31 @@ class BFV:
         w, w_sh = self._digit_w_tables()
         k0 = add_mod(
             neg_mod(add_mod(c.mont_mul(a_hat, s_mont), e_hat, c.q), c.q),
+            mul_const_mod(targets_hat[:, None], w, w_sh, c.q),
+            c.q,
+        )
+        return c.to_mont(k0), c.to_mont(a_hat)
+
+    def _make_switch_keys_batched_hybrid(self, targets_hat, s_mont_qp, key):
+        """Hybrid keygen over Q*P: K_j = (-(a s + e) + P * Qtilde_j * T, a)
+        for each RNS group j, all targets batched.  targets_hat / s_mont_qp
+        are NTT-domain over the extended qp chain."""
+        p = self.p
+        c = p.chain_qp
+        G = targets_hat.shape[0]
+        kp = len(p.qp_list)
+        k1, k2 = jax.random.split(key)
+        a_hat = sampling.uniform_mod_q(
+            k1, (G, p.ks_omega, kp, p.n), c.q, c.r_mod, c.r_shoup, c.one_shoup
+        )
+        e_hat = p.ntt_qp.forward(
+            sampling.small_to_residues(
+                sampling.gauss(k2, (G, p.ks_omega, p.n)), c.q
+            )
+        )
+        w, w_sh = p.ks_pqt  # [omega, kp, 1]
+        k0 = add_mod(
+            neg_mod(add_mod(c.mont_mul(a_hat, s_mont_qp), e_hat, c.q), c.q),
             mul_const_mod(targets_hat[:, None], w, w_sh, c.q),
             c.q,
         )
@@ -521,6 +701,81 @@ class BFV:
         diff = sub_mod(s_t, s_g_cent, tq)
         gi, gi_sh = p.gamma_inv_t
         return mul_const_mod(diff, gi[0], gi_sh[0], tq)
+
+    def decrypt_big_t_planes(self, keys: KeySet, ct: Ciphertext):
+        """DEVICE scale-and-round decrypt for 2**31 <= t < 2**62: returns
+        (W' mod 2^32, W' mod m2) uint32 planes with W' = round(t*x/q) + t*e2
+        (0 <= e2 < k from the approximate base conversion of x; it cancels
+        mod t).  join_big_t_planes() composes W' exactly on host and
+        reduces mod t — no host big-int path (the gamma trick alone only
+        yields W mod {t, gamma} because gamma*t*x vanishes there; the
+        extra planes need x itself base-converted)."""
+        p = self.p
+        assert p.big_gamma is not None, "big-t decrypt needs 2^31<=t<2^62"
+        g = p.big_gamma
+        cq = p.chain_q
+        x = self.raw_decrypt_residues(keys, ct)            # [..., k, N]
+        xs = mul_const_mod(x, *p.big_gt_mod_q, cq.q)       # |g*t*x|_q
+        y = mul_const_mod(xs, *p.inv_punct_q, cq.q)
+        yx = mul_const_mod(x, *p.inv_punct_q, cq.q)
+        # conv_y over {m2, gamma}; conv_x over {m2}
+        w, w_sh = p.punct_q_to_g2
+        g2q = p.chain_g2.q[None, :, :]
+        conv_y = mod_sum(
+            mul_const_mod(y[..., :, None, :], w, w_sh, g2q),
+            p.chain_g2.q, axis=-3,
+        )                                                   # [..., 2, N]
+        conv_x_m2 = mod_sum(
+            mul_const_mod(
+                yx[..., :, None, :], w[:, :1], w_sh[:, :1], g2q[:, :1]
+            ),
+            p.chain_g2.q[:1], axis=-3,
+        )[..., 0, :]
+        m2q = p.big_m2_chain.q[0]
+        # gamma plane: s_g = V mod gamma, V = Z - e  (g*t*x = 0 mod g)
+        s_g = mul_const_mod(
+            conv_y[..., 1, :], p.big_neg_qinv_g[0][0],
+            p.big_neg_qinv_g[1][0], jnp.uint32(g),
+        )
+        # V' mod m2 = (g*t*conv_x - conv_y) * q^{-1}
+        v_m2 = mul_const_mod(
+            sub_mod(
+                mul_const_mod(
+                    conv_x_m2, p.big_gt_m2[0][0], p.big_gt_m2[1][0], m2q
+                ),
+                conv_y[..., 0, :],
+                m2q,
+            ),
+            p.big_qinv_m2[0][0], p.big_qinv_m2[1][0], m2q,
+        )
+        # V' mod 2^32: wrap-around arithmetic
+        conv_y_m1 = jnp.sum(y * p.punct_q_to_m1, axis=-2, dtype=jnp.uint32)
+        conv_x_m1 = jnp.sum(yx * p.punct_q_to_m1, axis=-2, dtype=jnp.uint32)
+        v_m1 = (conv_x_m1 * p.big_gt_m1 - conv_y_m1) * p.big_qinv_m1
+        # center the gamma residue and divide by gamma: W' = (V' - v) / g
+        neg = s_g > jnp.uint32(g >> 1)
+        gm, _ = p.big_gamma_mod_m2
+        e_m2 = jnp.where(neg, sub_mod(s_g, gm[0], m2q), s_g)
+        w_m2 = mul_const_mod(
+            sub_mod(v_m2, e_m2, m2q), p.big_ginv_m2[0][0],
+            p.big_ginv_m2[1][0], m2q,
+        )
+        e_m1 = s_g - jnp.where(neg, jnp.uint32(g), jnp.uint32(0))
+        w_lo = (v_m1 - e_m1) * p.big_ginv_m1
+        return w_lo, w_m2
+
+    def join_big_t_planes(self, w_lo, w_m2) -> np.ndarray:
+        """Host: (W' mod 2^32, W' mod m2) -> exact uint64 W' (< t*(k+1)
+        < 2^63), reduced mod t.  All arithmetic fits int64: the high digit
+        u = W' >> 32 < 2^31 <= m2 is recovered exactly mod m2."""
+        p = self.p
+        m2 = p.big_m2
+        inv32 = modinv((1 << 32) % m2, m2)
+        lo = np.asarray(w_lo).astype(np.int64)
+        r2 = np.asarray(w_m2).astype(np.int64)
+        d = (r2 - (lo % m2)) % m2
+        u = (d * inv32) % m2            # < 2^31; product < 2^62 fits
+        return ((lo + (u << 32)).astype(np.uint64)) % np.uint64(p.t)
 
     def decrypt(self, keys: KeySet, ct: Ciphertext) -> np.ndarray:
         """Full decrypt -> plaintext coeffs as Python-int numpy [N] in [0,t)."""
@@ -709,9 +964,11 @@ class BFV:
         return jnp.stack(ds)
 
     def _switch_key_inner(self, poly, keys: SwitchKeys):
-        """Core key-switch: sum_ij NTT(digit_ij) * K_ij -> two polys [k,N]
-        (coefficient domain).  This is the rotation/relin hot loop
-        (ref `AtomicSealBfvVector` relin/rotate call sites)."""
+        """Core key-switch -> two polys [..., 2, k, N] (coefficient domain).
+        This is the rotation/relin hot loop (ref `AtomicSealBfvVector`
+        relin/rotate call sites).  Dispatches digit vs hybrid mode."""
+        if self.p.ks_hybrid:
+            return self._switch_key_inner_hybrid(poly, keys)
         p = self.p
         cq = p.chain_q
         dhat = p.ntt_q.forward(self._decompose_digits(poly))  # [kD, ..., k, N]
@@ -722,6 +979,47 @@ class BFV:
         t0 = mod_sum(cq.mont_mul(dhat, k0), cq.q, axis=0)
         t1 = mod_sum(cq.mont_mul(dhat, k1), cq.q, axis=0)
         return p.ntt_q.inverse(jnp.stack([t0, t1], axis=-3))
+
+    def _switch_key_inner_hybrid(self, poly, keys: SwitchKeys):
+        """Hybrid key switch: omega RNS groups, each base-extended to Q*P
+        (approximate FastBConv), one inner product over the extended chain,
+        then rounded division by P back to Q.  omega*(k+a) + 2*(k+a) limb
+        NTTs per switch vs k*D*(k+2) for digit mode, and key-switch noise
+        ~ omega*a*n*B instead of ~ k*D*2^dbc*n*B."""
+        p = self.p
+        cq, cqp = p.chain_q, p.chain_qp
+        y = mul_const_mod(poly, *p.ks_inv_punct_grp, cq.q)  # [..., k, N]
+        w, w_sh = p.ks_grp_conv  # [k, kp, 1]
+        terms = mul_const_mod(
+            y[..., :, None, :], w, w_sh, cqp.q[None, :, :]
+        )  # [..., k, kp, N]
+        ds = []
+        for i0, i1 in p.ks_groups:
+            seg = terms[..., i0:i1, :, :]
+            ds.append(
+                mod_sum(seg, cqp.q, axis=-3)
+                if i1 - i0 > 1
+                else seg[..., 0, :, :]
+            )
+        d = jnp.stack(ds, axis=0)  # [omega, ..., kp, N]
+        dhat = p.ntt_qp.forward(d)
+        extra = dhat.ndim - 3
+        kshape = (keys.k0.shape[0],) + (1,) * extra + keys.k0.shape[1:]
+        k0 = keys.k0.reshape(kshape)
+        k1 = keys.k1.reshape(kshape)
+        t0 = mod_sum(cqp.mont_mul(dhat, k0), cqp.q, axis=0)
+        t1 = mod_sum(cqp.mont_mul(dhat, k1), cqp.q, axis=0)
+        tt = p.ntt_qp.inverse(jnp.stack([t0, t1], axis=-3))  # [..., 2, kp, N]
+        if p.n_special == 0:
+            return tt  # P-less mode: keys live mod Q, no mod-down
+        t_q, t_sp = tt[..., : p.k, :], tt[..., p.k :, :]
+        # rounded division by P: (t + P/2 - [(t + P/2) mod P]) / P
+        csp = p.chain_sp
+        z = add_mod(t_sp, p.ks_phalf_sp, csp.q)
+        y2 = mul_const_mod(z, *p.ks_inv_punct_sp, csp.q)
+        conv = self._fast_bconv(y2, p.ks_punct_sp_to_q, cq)
+        num = sub_mod(add_mod(t_q, p.ks_phalf_q, cq.q), conv, cq.q)
+        return mul_const_mod(num, *p.ks_pinv_q, cq.q)
 
     def relinearize(self, ct: Ciphertext, keys: KeySet) -> Ciphertext:
         if ct.size == 2:

@@ -38,6 +38,16 @@ def coeff_count_for(n: int, small_modulus_count: int | None = None) -> int:
 
 # Per-app factory configs, verbatim plain primes from the reference
 # (SURVEY.md section 2.4).
+#
+# Key-switch mode per preset.  n_special > 0 = hybrid (special-prime)
+# switching: data limbs plus special limbs stay within the ring degree's
+# 128-bit total-modulus budget (SECURITY_BITS_128), so security matches
+# the reference while rotations/relin run ~3x fewer NTTs with ~2^dbc less
+# key-switch noise.  ks_alpha > 0 (without n_special) = P-less RNS-group
+# switching: same NTT savings, costs ~31*alpha bits of key-switch noise —
+# used where the full data chain is needed (no room for special primes)
+# but the budget slack absorbs it.  Splits validated by encrypted
+# end-to-end runs (match vs raw backend + final noise budgets > 0).
 CONFIGS = {
     "default": dict(  # `IFactory.cs:244-253`
         plain_primes=(40961, 65537, 114689, 147457, 188417), n=4096,
@@ -45,30 +55,43 @@ CONFIGS = {
     "cryptonets": dict(  # `CryptoNets.cs:17`
         plain_primes=(549764251649, 549764284417), n=8192,
     ),
-    "lola": dict(  # `LoLaCryptonets.cs:208`
+    "lola": dict(  # `LoLaCryptonets.cs:208` (needs the full 7-limb data
+        # chain for its two squares + plain-mult stages, so no special
+        # primes fit the n=8192 budget; P-less RNS groups instead)
         plain_primes=(557057, 638977, 737281, 786433), n=8192,
+        ks_alpha=1,
     ),
     "lola_dense": dict(  # `LoLaCryptonets.cs:123` (SMC 7 of 9 @ 16384)
         plain_primes=(34359771137, 34360754177), n=16384,
-        coeff_count=coeff_count_for(16384, 7),
+        coeff_count=coeff_count_for(16384, 7), n_special=3,
     ),
     "lola_small": dict(  # `LoLaCryptonets.cs:283` (SMC 3 of 5 @ 8192)
         plain_primes=(2277377, 2424833), n=8192,
-        coeff_count=coeff_count_for(8192, 3),
+        coeff_count=coeff_count_for(8192, 3), n_special=2,
     ),
     "lola_large": dict(  # `LoLaCryptonets.cs:341`
         plain_primes=(2148728833, 2148794369, 2149810177), n=16384,
-        coeff_count=coeff_count_for(16384, 7),
+        coeff_count=coeff_count_for(16384, 7), n_special=3,
     ),
     "cifar": dict(  # `LolaCifarCryptoNet.cs:35` (SMC 8 of 9 @ 16384)
         plain_primes=(957181001729, 957181034497), n=16384,
-        coeff_count=coeff_count_for(16384, 8),
+        coeff_count=coeff_count_for(16384, 8), n_special=1,
     ),
     "caltech": dict(  # `Caltech101.cs:21` (SMC 2 of 3 @ 4096)
         plain_primes=(4300801,), n=4096,
         coeff_count=coeff_count_for(4096, 2),
     ),
 }
+
+# total-modulus security check: data + special limbs within budget
+from ..crypto.primes import SECURITY_BITS_128  # noqa: E402
+
+for _name, _cfg in CONFIGS.items():
+    _k = _cfg.get("coeff_count") or len(
+        default_coeff_modulus_128(_cfg["n"])
+    )
+    _bits = 31 * (_k + _cfg.get("n_special", 0))
+    assert _bits <= SECURITY_BITS_128[_cfg["n"]], (_name, _bits)
 
 
 def make_factory(name: str, encrypt: bool = True, seed: int = 0, **overrides):

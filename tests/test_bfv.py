@@ -143,3 +143,51 @@ def test_device_decrypt_matches_host(ctx):
         np.asarray(bfv.decrypt_residues_mod_t(keys, sq)).astype(np.int64),
         dec(bfv, keys, sq),
     )
+
+
+@pytest.mark.parametrize(
+    "n_special,ks_alpha,n_limbs",
+    [(1, 0, 3), (2, 0, 3), (0, 1, 3), (0, 2, 4)],
+)
+def test_hybrid_key_switch(n_special, ks_alpha, n_limbs):
+    """Hybrid (special-prime) and P-less RNS-group key switching: relin +
+    rotations exact (SEAL >= 3.4's construction; the reference's SEAL 3.2
+    uses the digit mode also kept here).  Special-prime mode must cost at
+    most a couple of budget bits; P-less mode costs ~31*alpha bits by
+    design but must stay decryptable."""
+    params = BFVParams(
+        N, T, coeff_modulus=ntt_primes(N, 30, n_limbs), dbc=16,
+        n_special=n_special, ks_alpha=ks_alpha,
+    )
+    bfv = BFV(params)
+    keys = bfv.keygen(seed=7, rot_steps=(3,))
+    m1 = rand_plain()
+    m2 = rand_plain()
+    c1 = enc(bfv, keys, m1, seed=2)
+    c2 = enc(bfv, keys, m2, seed=3)
+    prod = bfv.relinearize(bfv.multiply(c1, c2), keys)
+    np.testing.assert_array_equal(
+        dec(bfv, keys, prod), _negacyclic_mul(m1, m2)
+    )
+    rot = bfv.rotate_rows(c1, 3, keys)
+    np.testing.assert_array_equal(
+        dec(bfv, keys, rot),
+        np.concatenate(
+            [np.roll(m1[: N // 2], -3), np.roll(m1[N // 2 :], -3)]
+        ),
+    )
+    budget_rot = invariant_noise_budget(bfv, keys, rot)
+    budget_fresh = invariant_noise_budget(bfv, keys, c1)
+    assert budget_rot > 0, (budget_fresh, budget_rot)
+    if n_special > 0:
+        # special primes absorb the decomposition noise almost entirely
+        assert budget_fresh - budget_rot <= 2, (budget_fresh, budget_rot)
+
+
+def _negacyclic_mul(m1, m2):
+    a = m1.astype(object)
+    b = m2.astype(object)
+    full = np.convolve(a, b)
+    out = full[:N].copy()
+    out[: len(full) - N] -= full[N:]
+    return (out % T).astype(np.int64)
