@@ -22,3 +22,32 @@ Layering (mirrors reference layers L0-L4, see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compilation_cache():
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    Cold-process compiles on the remote-compile TPU rig cost minutes
+    (keygen ~4 min, full-network warmup ~8 min measured in round 1);
+    with the cache, every re-run of the same program deserializes the
+    executable instead.  Opt out with CRYPTONETS_JAX_CACHE=0, redirect
+    with CRYPTONETS_JAX_CACHE=<dir>.
+    """
+    import os
+
+    d = os.environ.get("CRYPTONETS_JAX_CACHE")
+    if d == "0":
+        return
+    if not d:
+        d = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(d))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # older/newer jax without these flags: best effort
+        pass
+
+
+_enable_persistent_compilation_cache()
