@@ -159,9 +159,20 @@ class BFVParams:
             [self.delta % q for q in qs]
         )
 
-        # ---- BEHZ multiply bases: Bsk = B (k primes) + m_sk, plus m_tilde.
-        aux = aux_base_primes(n, self.k + 1, avoid=qs)
-        self.B_list, self.msk = aux[: self.k], aux[self.k]
+        # ---- BEHZ multiply bases: Bsk = B + m_sk, plus m_tilde.
+        # The fast floor / Shenoy-Kumaresan back-conversion are exact only
+        # while |floor(t*c/q)| fits Bsk; tensor-product coefficients c of
+        # two base-q polys reach ~n*q^2, so size prod(Bsk) >= 16*t*n*q
+        # (SEAL gets the same headroom by using 61-bit Bsk primes over
+        # <=60-bit data primes; with uniform ~31-bit limbs the base needs
+        # extra primes once t*n exceeds ~2**27).
+        need = 16 * self.t * n * self.q_big
+        n_aux = max(self.k + 1, -(-need.bit_length() // 31))
+        aux = aux_base_primes(n, n_aux, avoid=qs)
+        while math.prod(aux) < need:
+            n_aux += 1
+            aux = aux_base_primes(n, n_aux, avoid=qs)
+        self.B_list, self.msk = aux[:-1], aux[-1]
         bsk = self.B_list + (self.msk,)
         self.bsk_list = bsk
         self.chain_bsk = ModChain(bsk)
@@ -924,7 +935,8 @@ class BFV:
         )
 
         # Shenoy-Kumaresan back-conversion Bsk -> q
-        y_B, y_msk = fl[..., : p.k, :], fl[..., p.k, :]  # [..., s, k, N], [..., s, N]
+        nB = len(p.B_list)
+        y_B, y_msk = fl[..., :nB, :], fl[..., nB, :]  # [..., s, nB, N], [..., s, N]
         z = mul_const_mod(y_B, *p.inv_punct_B, p.chain_B.q)
         conv_q = self._fast_bconv(z, p.punct_B_to_q, cq)
         conv_msk = self._fast_bconv(z, p.punct_B_to_msk, p.msk_chain)
