@@ -222,6 +222,18 @@ class CrtBfvFactory:
     # ------------------------------------------------- slot-domain encoding
     def encode_slots_to_residues(self, slots, prime_idx: int) -> np.ndarray:
         """Slot values (ints mod t) -> coefficient residues [k, N] uint32."""
+        t = self.plain_primes[prime_idx]
+        if (1 << 31) <= t < (1 << 62):
+            # big-t fast path: native C++ NTT + vectorized uint64 residues
+            # (the object-int fallback costs minutes at n=8192 x 784 cols)
+            try:
+                s64 = np.asarray(slots).astype(np.int64)
+            except (OverflowError, TypeError):
+                s64 = None
+            if s64 is not None:
+                coeffs = self.encoders[prime_idx].encode_int_big(s64)
+                if coeffs is not None:
+                    return self.params[prime_idx].plain_to_residues(coeffs)
         coeffs = self.encoders[prime_idx].encode(slots)
         return self.params[prime_idx].plain_to_residues(coeffs)
 

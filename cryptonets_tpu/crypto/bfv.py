@@ -404,6 +404,16 @@ class BFVParams:
             return np.stack(
                 [(c64 % q).astype(np.uint32) for q in self.q_list], axis=-2
             )
+        if self.t < (1 << 62) and c.dtype != object:
+            # big-t fast path: coeffs in [0, t) fit uint64 exactly
+            cu = (c.astype(np.int64) % self.t).astype(np.uint64)
+            return np.stack(
+                [
+                    (cu % np.uint64(q)).astype(np.uint32)
+                    for q in self.q_list
+                ],
+                axis=-2,
+            )
         c = np.asarray(coeffs, dtype=object) % self.t
         return np.stack(
             [

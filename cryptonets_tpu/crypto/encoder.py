@@ -142,6 +142,23 @@ class BatchEncoder:
         evals = _ntt_host(c, self.pf, self.t)
         return np.asarray(evals, dtype=object)[self.index_map]
 
+    def encode_int_big(self, values: np.ndarray) -> np.ndarray | None:
+        """Fast encode for big t in [2**31, 2**62): int64 slot values ->
+        uint64 coefficient array via the native C++ 128-bit NTT, no object
+        arithmetic.  Returns None when the native runtime is unavailable
+        (callers fall back to the exact object path)."""
+        assert not self._small and self.t < (1 << 62)
+        if not hasattr(self, "pi64"):
+            return None
+        from ..runtime import hostcrypto
+
+        if hostcrypto.get_lib() is None:
+            return None
+        v = np.asarray(values).astype(np.int64) % self.t
+        buf = np.zeros(self.n, np.uint64)
+        buf[self.index_map[: len(v)]] = v.astype(np.uint64)
+        return hostcrypto.ntt_inverse(buf, self.pi64, self.n_inv, self.t)
+
     def encode_int_batch(self, values: np.ndarray) -> np.ndarray:
         """Vectorized encode for integer slot arrays [..., <=n] (t < 2**31):
         one batched uint64 numpy NTT instead of per-row object math."""

@@ -169,15 +169,23 @@ def test_hybrid_key_switch(n_special, ks_alpha, n_limbs):
     np.testing.assert_array_equal(
         dec(bfv, keys, prod), _negacyclic_mul(m1, m2)
     )
-    rot = bfv.rotate_rows(c1, 3, keys)
+    # rotation: slot semantics need slot-ENCODED plaintexts (rotate_rows
+    # rolls the two encoder rows, i.e. applies m(x) -> m(x^g) on coeffs)
+    from cryptonets_tpu.crypto.encoder import BatchEncoder
+
+    encd = BatchEncoder(N, T)
+    slots = rand_plain()
+    c3 = enc(bfv, keys, np.asarray(encd.encode(slots)), seed=4)
+    rot = bfv.rotate_rows(c3, 3, keys)
+    got = encd.decode(dec(bfv, keys, rot)).astype(np.int64)
     np.testing.assert_array_equal(
-        dec(bfv, keys, rot),
+        got,
         np.concatenate(
-            [np.roll(m1[: N // 2], -3), np.roll(m1[N // 2 :], -3)]
+            [np.roll(slots[: N // 2], -3), np.roll(slots[N // 2 :], -3)]
         ),
     )
     budget_rot = invariant_noise_budget(bfv, keys, rot)
-    budget_fresh = invariant_noise_budget(bfv, keys, c1)
+    budget_fresh = invariant_noise_budget(bfv, keys, c3)
     assert budget_rot > 0, (budget_fresh, budget_rot)
     if n_special > 0:
         # special primes absorb the decomposition noise almost entirely
