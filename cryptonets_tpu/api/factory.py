@@ -512,34 +512,47 @@ class CrtBfvFactory:
             out.append(op(Ciphertext(data[pi]), form[pi]).data)
         return jnp.stack(out)
 
+    def _cached_mask(self, key, build):
+        """Mask-form cache that never stores trace-time tracers (forms
+        built inside a jit trace would leak into later traces)."""
+        if key not in self._mask_cache:
+            out = build()
+            if isinstance(out, jax.core.Tracer):
+                return out
+            self._mask_cache[key] = out
+        return self._mask_cache[key]
+
     def mask_mult_form(self, lo: int, hi: int) -> jnp.ndarray:
         """0/1 row-position-range mask (both rows), prepared for multiply.
         mask[i] = 1 iff lo <= (i mod (n/2)) < hi.  Cached."""
-        key = (lo, hi)
-        if key not in self._mask_cache:
+
+        def build():
             row = self.n // 2
             pos = np.arange(self.n) % row
             m = ((pos >= lo) & (pos < hi)).astype(np.int64)
-            self._mask_cache[key] = self.plain_mult_form(m, self.n)
-        return self._mask_cache[key]
+            return self.plain_mult_form(m, self.n)
+
+        return self._cached_mask((lo, hi), build)
 
     def flat_mask_form(self, lo: int, hi: int) -> jnp.ndarray:
         """0/1 mask over FLAT slots [lo, hi) (spans rows naturally)."""
-        key = ("flat", lo, hi)
-        if key not in self._mask_cache:
+
+        def build():
             m = np.zeros(self.n, np.int64)
             m[lo:hi] = 1
-            self._mask_cache[key] = self.plain_mult_form(m, self.n)
-        return self._mask_cache[key]
+            return self.plain_mult_form(m, self.n)
+
+        return self._cached_mask(("flat", lo, hi), build)
 
     def unit_mask_form(self, col: int) -> jnp.ndarray:
         """Mask selecting exactly flat slot `col` (ForceOutputInColumn)."""
-        key = ("unit", col)
-        if key not in self._mask_cache:
+
+        def build():
             m = np.zeros(self.n, np.int64)
             m[col] = 1
-            self._mask_cache[key] = self.plain_mult_form(m, self.n)
-        return self._mask_cache[key]
+            return self.plain_mult_form(m, self.n)
+
+        return self._cached_mask(("unit", col), build)
 
 
 class RawFactory:

@@ -25,7 +25,7 @@ class CryptoTracker:
         cls.min_budget_so_far = None
 
     @classmethod
-    def test_vector_budget(cls, vec) -> int | None:
+    def test_vector_budget(cls, vec, warn: bool = True) -> int | None:
         """Minimum budget across plain primes and blocks of an HEVector."""
         if not cls.enabled or not getattr(vec, "is_encrypted", False):
             return None
@@ -40,7 +40,8 @@ class CryptoTracker:
         if worst is not None:
             if cls.min_budget_so_far is None or worst < cls.min_budget_so_far:
                 cls.min_budget_so_far = worst
-                print(f"Warning: noise budget decreased to {worst} bits")
+                if warn:
+                    print(f"Warning: noise budget decreased to {worst} bits")
             if worst <= 0:
                 raise BudgetExhausted("noise budget exhausted (0 bits)")
         return worst

@@ -21,6 +21,7 @@ reference's plainData/encData dual storage (`AtomicSealBfvVector.cs:305`).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..crypto.bfv import Ciphertext
@@ -111,7 +112,10 @@ class HEVector:
                 for b in range(sv.shape[0])
             ]
             # [P, C, k, N] (plain_mult_form returns [P, 1, k, N] per block)
-            self._mult_form = jnp.concatenate(forms, axis=1)
+            out = jnp.concatenate(forms, axis=1)
+            if isinstance(out, jax.core.Tracer):
+                return out  # computed inside a trace: do not cache
+            self._mult_form = out
         return self._mult_form
 
     def add_form(self):
@@ -121,7 +125,10 @@ class HEVector:
                 self.factory.plain_add_form(sv[b], self.factory.n)
                 for b in range(sv.shape[0])
             ]
-            self._add_form = jnp.concatenate(forms, axis=1)
+            out = jnp.concatenate(forms, axis=1)
+            if isinstance(out, jax.core.Tracer):
+                return out  # computed inside a trace: do not cache
+            self._add_form = out
         return self._add_form
 
     # ------------------------------------------------------------ add / sub

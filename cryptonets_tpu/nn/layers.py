@@ -165,26 +165,39 @@ class PoolLayer(Layer):
         bias_scale = src_scale * self.weights_scale
         rowcount = m.vectors[0].dim
 
-        map_outs = []
         dense = len(e.corners) == 1
-        for mi in range(maps):
-            wt, wt_sh = w_table(mi)
-            acc = None
-            if dense:
-                idx = [
-                    e.location(e.corners[0], off, e.input_shape)
-                    for off in e.offsets
-                ]
-                idx = jnp.asarray([Vin if l < 0 else l for l in idx])
-                Xg = jnp.take(Xh_ext, idx, axis=1)  # [P, O, C, 2, k, N]
-                OPS.count("plain_multiplication", len(e.offsets))
-                prod = mul_const_mod(
-                    Xg, wt[None, :, None, None], wt_sh[None, :, None, None], q
-                )
-                from ..crypto.bfv import mod_sum
+        if dense:
+            # dense layer (kernel == input): ONE gather of the offset
+            # columns + ONE exact digit-plane MXU contraction over all
+            # maps (kernels/modmatmul.py) — the reference loops
+            # maps x columns thread tasks; a per-map const-mul loop also
+            # makes XLA materialize a gathered input copy per map.
+            from ..kernels.modmatmul import exact_mod_contract
 
-                acc = mod_sum(prod, q, axis=1)[:, None]  # [P, 1, C, 2, k, N]
-            else:
+            idx = [
+                e.location(e.corners[0], off, e.input_shape)
+                for off in e.offsets
+            ]
+            idx = jnp.asarray([Vin if l < 0 else l for l in idx])
+            Xg = jnp.take(Xh_ext, idx, axis=1)  # [P, O, C, 2, k, N]
+            W = np.zeros((maps, len(e.offsets)), np.int64)
+            for mi in range(maps):
+                for oi, off in enumerate(e.offsets):
+                    l = e.location(
+                        None, off, e.kernel_shape, mi * self.kernel_size
+                    )
+                    W[mi, oi] = (
+                        0
+                        if l < 0
+                        else int(round(self.weights[l] * self.weights_scale))
+                    )
+            OPS.count("plain_multiplication", maps * len(e.offsets))
+            stacked = exact_mod_contract(W, Xg, qs, q)  # [P, maps, C, 2, k, N]
+        else:
+            map_outs = []
+            for mi in range(maps):
+                wt, wt_sh = w_table(mi)
+                acc = None
                 for oi, off in enumerate(e.offsets):
                     idx = [
                         e.location(c, off, e.input_shape) for c in e.corners
@@ -199,8 +212,8 @@ class PoolLayer(Layer):
                         q,
                     )
                     acc = term if acc is None else add_mod(acc, term, q)
-            map_outs.append(acc)
-        stacked = jnp.concatenate(map_outs, axis=1)  # [P, maps*corners? ...]
+                map_outs.append(acc)
+            stacked = jnp.concatenate(map_outs, axis=1)
         out = ntt.inverse(stacked)  # coeff domain
         # bias: per map, replicated over the batch rows (dense slots)
         bias_forms = jnp.stack(
