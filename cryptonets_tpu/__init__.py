@@ -9,7 +9,8 @@ zoo composes into single jitted XLA programs, and scaling happens over
 Layering (mirrors reference layers L0-L4, see SURVEY.md):
   crypto/   - L0: BFV scheme: modular arithmetic, NTT, keygen, encrypt,
               homomorphic ops (reference: Microsoft SEAL 3.2, native NuGet)
-  kernels/  - Pallas TPU kernels for the hot paths (NTT, key-switch, modmul)
+  kernels/  - TPU kernels for the hot paths (MXU matmul-NTT, exact
+              digit-plane modular matmul)
   api/      - L1: scale-tracked HE vector/matrix API + plaintext Raw backend
               (reference: `HE Wrapper/`)
   nn/       - L2: layer zoo, convolution index algebra, readers

@@ -219,6 +219,22 @@ class CrtBfvFactory:
         acc = acc % M
         return np.where(acc > M >> 1, acc - M, acc)
 
+    # --------------------------------------------------- CRT string codec
+    def get_value_from_string(self, s: str) -> int:
+        """Comma-joined per-prime residues -> CRT value in [0, prod t)
+        (ref GetValueFromString, `IFactory.cs:395-403`)."""
+        parts = [int(x) for x in s.split(",")]
+        crt = self.plain_crt
+        acc = 0
+        for r, punct, inv in zip(parts, crt.punctured, crt.inv_punctured):
+            acc += (punct * inv) * r
+        return acc % crt.product
+
+    def get_string_from_value(self, value: int) -> str:
+        """CRT value -> comma-joined per-prime residues
+        (ref GetStringFromValue, `IFactory.cs:405-408`)."""
+        return ",".join(str(int(value) % t) for t in self.plain_primes)
+
     # ------------------------------------------------- slot-domain encoding
     def encode_slots_to_residues(self, slots, prime_idx: int) -> np.ndarray:
         """Slot values (ints mod t) -> coefficient residues [k, N] uint32."""

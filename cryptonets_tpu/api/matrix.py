@@ -264,6 +264,12 @@ class HEMatrix:
             B = other._stacked_data()
             OPS.count("multiplication", V)
             OPS.count("relinearization", V)
+            # chunk bounds the live BEHZ temporaries: one chunk's multiply
+            # holds ~6 copies of [chunk, C, 3, k+a, N] uint32 tensors
+            # (lifted inputs, two NTT-domain tensors, the product, the
+            # floor); at the CryptoNets preset (C=1, k=7, a=10, N=8192)
+            # chunk=128 keeps that under ~2.5 GB of HBM while amortizing
+            # launch/loop overhead over 128 columns.
             chunk = 128
             per = []
             for pi, bfv in enumerate(f.bfv):

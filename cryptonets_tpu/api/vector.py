@@ -476,7 +476,15 @@ class HEVector:
         return p.decrypt_blocks(self.data, self.dim)
 
     def decrypt(self) -> np.ndarray:
-        """Float values (big ints / scale)."""
+        """Float values (big ints / scale).
+
+        Precision bound: float64 carries 53 mantissa bits, so values
+        wider than 2**53 (CIFAR logits reach ~79 bits,
+        `LolaCifarCryptoNet.cs:28-30`) lose low-order bits here — the
+        same loss the reference incurs converting BigInteger to double
+        (`RawMatrix`/argmax paths).  Relative error stays 2**-53, so
+        argmax/accuracy are unaffected; use decrypt_full_precision()
+        when exact integers matter."""
         vals = self.decrypt_full_precision()
         return np.array([float(v) for v in vals]) / self.scale
 

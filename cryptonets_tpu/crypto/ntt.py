@@ -9,9 +9,9 @@ scaling pass is needed.
 
 Layout: x has shape [..., L, N] (L = RNS limbs, N = ring degree). Each
 stage is a fully-vectorized reshape + Shoup constant multiply; the whole
-transform is log2(N) such stages, which XLA fuses aggressively. A Pallas
-MXU formulation (4-step NTT as exact f32 matmuls) lives in
-cryptonets_tpu/kernels/pallas_ntt.py and is dispatched for large batches.
+transform is log2(N) such stages, which XLA fuses aggressively. An MXU
+formulation (4-step NTT as exact digit-plane matmuls, its own evaluation
+ordering) lives in cryptonets_tpu/kernels/matmul_ntt.py.
 
 All twiddles carry Shoup companions, so a butterfly costs 6 hardware
 multiplies; everything stays uint32-exact.

@@ -1,1 +1,3 @@
-"""TPU kernels for the hot paths: MXU matmul-NTT and Pallas variants."""
+"""TPU kernels for the hot paths: the MXU matmul-NTT (kernels/matmul_ntt.py)
+and the exact digit-plane modular matmul (kernels/modmatmul.py).
+"""
