@@ -45,6 +45,7 @@ class CrtBfvFactory:
         rot_steps=(),
         n_special: int = 0,
         ks_alpha: int = 0,
+        ntt_impl: str = "butterfly",
         _skip_keygen: bool = False,
     ):
         self.n = n
@@ -57,7 +58,7 @@ class CrtBfvFactory:
         self.params = [
             BFVParams(
                 n, t, coeff_modulus=chain, dbc=dbc, seed=seed,
-                n_special=n_special, ks_alpha=ks_alpha,
+                n_special=n_special, ks_alpha=ks_alpha, ntt_impl=ntt_impl,
             )
             for t in self.plain_primes
         ]

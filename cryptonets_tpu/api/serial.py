@@ -35,11 +35,15 @@ def _key_arrays(keys) -> dict:
 
 def save_keys(factory, path: str, include_secret: bool = True):
     """Persist factory configuration + keys (optionally public-only)."""
+    p0 = factory.params[0]
     cfg = dict(
         plain_primes=list(factory.plain_primes),
         n=factory.n,
         coeff_modulus=[int(q) for q in factory.coeff_modulus],
-        dbc=factory.params[0].dbc,
+        dbc=p0.dbc,
+        n_special=p0.n_special,
+        ks_alpha=p0.ks_alpha,
+        ntt_impl=p0.ntt_impl,
         include_secret=include_secret,
     )
     arrays = {
@@ -65,6 +69,9 @@ def load_factory(path: str):
         n=cfg["n"],
         coeff_modulus=tuple(cfg["coeff_modulus"]),
         dbc=cfg["dbc"],
+        n_special=cfg.get("n_special", 0),
+        ks_alpha=cfg.get("ks_alpha", 0),
+        ntt_impl=cfg.get("ntt_impl", "butterfly"),
         seed=0,
         _skip_keygen=True,
     )

@@ -128,6 +128,7 @@ class BFVParams:
         seed: int = 0,
         n_special: int = 0,
         ks_alpha: int = 0,
+        ntt_impl: str = "butterfly",
     ):
         self.n = n
         self.t = int(plain_modulus)
@@ -136,6 +137,19 @@ class BFVParams:
         self.k = len(qs)
         self.dbc = dbc
         self.seed = seed
+        # Ciphertext-side NTT implementation: 'butterfly' (VPU stage loop)
+        # or 'matmul' (4-step MXU digit-plane formulation, its own
+        # evaluation ordering).  Keys are stored in NTT domain, so one
+        # factory must use ONE impl for its lifetime; the encoder slot
+        # NTTs over Z_t stay butterfly (their ordering is tied to the
+        # SEAL index_map).
+        self.ntt_impl = ntt_impl
+        if ntt_impl == "matmul":
+            from ..kernels.matmul_ntt import get_matmul_ntt_context
+
+            self._make_ntt = get_matmul_ntt_context
+        else:
+            self._make_ntt = get_ntt_context
         # Key-switch mode.  n_special > 0 selects hybrid (special-prime)
         # key switching with RNS groups of data limbs; ks_alpha > 0 with
         # n_special == 0 selects P-less RNS-group switching (groups of
@@ -151,7 +165,7 @@ class BFVParams:
         self.digits_per_limb = -(-max(q.bit_length() for q in qs) // dbc)
 
         self.chain_q = ModChain(qs)
-        self.ntt_q = get_ntt_context(n, qs)
+        self.ntt_q = self._make_ntt(n, qs)
         self.crt_q = CRT(list(qs))
         self.q_big = self.crt_q.product
         self.delta = self.q_big // self.t  # floor(q/t)
@@ -176,7 +190,7 @@ class BFVParams:
         bsk = self.B_list + (self.msk,)
         self.bsk_list = bsk
         self.chain_bsk = ModChain(bsk)
-        self.ntt_bsk = get_ntt_context(n, bsk)
+        self.ntt_bsk = self._make_ntt(n, bsk)
         self.crt_B = CRT(list(self.B_list))
         self.m_tilde = 1 << 16
 
@@ -311,7 +325,7 @@ class BFVParams:
             qp = qs + sp
             self.qp_list = qp
             self.chain_qp = ModChain(qp)
-            self.ntt_qp = get_ntt_context(n, qp)
+            self.ntt_qp = self._make_ntt(n, qp)
             self.P_big = 1
             for m in sp:
                 self.P_big *= m
@@ -993,6 +1007,26 @@ class BFV:
             return self._switch_key_inner_hybrid(poly, keys)
         p = self.p
         cq = p.chain_q
+        kD = p.k * p.digits_per_limb
+        lead = int(np.prod(poly.shape[:-2], dtype=np.int64))
+        if 4 * kD * lead * p.k * p.n > (1 << 31):
+            # big batched switches: loop digits, accumulate (see the
+            # hybrid variant for rationale)
+            mask = jnp.uint32((1 << p.dbc) - 1)
+            t0 = t1 = None
+            idx = 0
+            for i in range(p.k):
+                for j in range(p.digits_per_limb):
+                    dig = (poly[..., i, :] >> (p.dbc * j)) & mask
+                    dhat = p.ntt_q.forward(
+                        jnp.broadcast_to(dig[..., None, :], poly.shape)
+                    )
+                    a0 = cq.mont_mul(dhat, keys.k0[idx])
+                    a1 = cq.mont_mul(dhat, keys.k1[idx])
+                    t0 = a0 if t0 is None else add_mod(t0, a0, cq.q)
+                    t1 = a1 if t1 is None else add_mod(t1, a1, cq.q)
+                    idx += 1
+            return p.ntt_q.inverse(jnp.stack([t0, t1], axis=-3))
         dhat = p.ntt_q.forward(self._decompose_digits(poly))  # [kD, ..., k, N]
         extra = dhat.ndim - 3  # leading batch dims of poly
         kshape = (keys.k0.shape[0],) + (1,) * extra + keys.k0.shape[1:]
@@ -1012,25 +1046,52 @@ class BFV:
         cq, cqp = p.chain_q, p.chain_qp
         y = mul_const_mod(poly, *p.ks_inv_punct_grp, cq.q)  # [..., k, N]
         w, w_sh = p.ks_grp_conv  # [k, kp, 1]
-        terms = mul_const_mod(
-            y[..., :, None, :], w, w_sh, cqp.q[None, :, :]
-        )  # [..., k, kp, N]
-        ds = []
-        for i0, i1 in p.ks_groups:
-            seg = terms[..., i0:i1, :, :]
-            ds.append(
-                mod_sum(seg, cqp.q, axis=-3)
-                if i1 - i0 > 1
-                else seg[..., 0, :, :]
-            )
-        d = jnp.stack(ds, axis=0)  # [omega, ..., kp, N]
-        dhat = p.ntt_qp.forward(d)
-        extra = dhat.ndim - 3
-        kshape = (keys.k0.shape[0],) + (1,) * extra + keys.k0.shape[1:]
-        k0 = keys.k0.reshape(kshape)
-        k1 = keys.k1.reshape(kshape)
-        t0 = mod_sum(cqp.mont_mul(dhat, k0), cqp.q, axis=0)
-        t1 = mod_sum(cqp.mont_mul(dhat, k1), cqp.q, axis=0)
+        kp = len(p.qp_list)
+        lead = int(np.prod(poly.shape[:-2], dtype=np.int64))
+        # the stacked [omega, ..., kp, N] digit tensor costs omega*kp/k
+        # more HBM than the input; for big batched rotations (e.g. the
+        # CIFAR 112-row sum tree) loop groups and accumulate instead —
+        # identical math, ~omega x smaller peak memory.
+        stack_bytes = 4 * p.ks_omega * lead * kp * p.n
+        if stack_bytes > (1 << 31):
+            t0 = t1 = None
+            for gi, (i0, i1) in enumerate(p.ks_groups):
+                seg = mul_const_mod(
+                    y[..., i0:i1, None, :],
+                    w[i0:i1],
+                    w_sh[i0:i1],
+                    cqp.q[None, :, :],
+                )  # [..., g, kp, N]
+                d = (
+                    mod_sum(seg, cqp.q, axis=-3)
+                    if i1 - i0 > 1
+                    else seg[..., 0, :, :]
+                )
+                dhat = p.ntt_qp.forward(d)
+                a0 = cqp.mont_mul(dhat, keys.k0[gi])
+                a1 = cqp.mont_mul(dhat, keys.k1[gi])
+                t0 = a0 if t0 is None else add_mod(t0, a0, cqp.q)
+                t1 = a1 if t1 is None else add_mod(t1, a1, cqp.q)
+        else:
+            terms = mul_const_mod(
+                y[..., :, None, :], w, w_sh, cqp.q[None, :, :]
+            )  # [..., k, kp, N]
+            ds = []
+            for i0, i1 in p.ks_groups:
+                seg = terms[..., i0:i1, :, :]
+                ds.append(
+                    mod_sum(seg, cqp.q, axis=-3)
+                    if i1 - i0 > 1
+                    else seg[..., 0, :, :]
+                )
+            d = jnp.stack(ds, axis=0)  # [omega, ..., kp, N]
+            dhat = p.ntt_qp.forward(d)
+            extra = dhat.ndim - 3
+            kshape = (keys.k0.shape[0],) + (1,) * extra + keys.k0.shape[1:]
+            k0 = keys.k0.reshape(kshape)
+            k1 = keys.k1.reshape(kshape)
+            t0 = mod_sum(cqp.mont_mul(dhat, k0), cqp.q, axis=0)
+            t1 = mod_sum(cqp.mont_mul(dhat, k1), cqp.q, axis=0)
         tt = p.ntt_qp.inverse(jnp.stack([t0, t1], axis=-3))  # [..., 2, kp, N]
         if p.n_special == 0:
             return tt  # P-less mode: keys live mod Q, no mod-down

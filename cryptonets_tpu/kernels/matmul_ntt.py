@@ -173,6 +173,17 @@ def _exact_modmat(W_planes, x, q, pow8, pow8_sh, left: bool):
     return acc
 
 
+_MM_CACHE: dict = {}
+
+
+def get_matmul_ntt_context(n: int, moduli) -> "MatmulNTTContext":
+    """Interned contexts (twiddle tables + per-shape jit caches shared)."""
+    key = (n, tuple(int(m) for m in moduli))
+    if key not in _MM_CACHE:
+        _MM_CACHE[key] = MatmulNTTContext(n, key[1])
+    return _MM_CACHE[key]
+
+
 class MatmulNTTContext:
     """Drop-in alternative to NTTContext with MXU matmul internals.
 
