@@ -44,6 +44,18 @@ def main():
     builder = lola_mnist.BUILDERS[network]
 
     records = synthetic_mnist_records(n_records + 1, seed=11)
+
+    # raw oracle on record 0: the timed encrypted pipeline must reproduce
+    # these logits exactly (fixed-point arithmetic is deterministic) —
+    # a latency number over a noise-corrupted output is worthless.
+    head_r, _, _ = builder(False, records=[(l, f.copy()) for l, f in records])
+    head_r.prepare_network()
+    mr = head_r.get_next()
+    raw0 = np.asarray(
+        (mr.get_column(0) if hasattr(mr, "get_column") else mr).decrypt(),
+        dtype=float,
+    )
+
     t0 = time.time()
     head, factory, reader = builder(True, records=records)
     head.prepare_network()
@@ -52,11 +64,16 @@ def main():
 
     fwd = EncryptedForward(head, jit=True, fuse_io=fuse)
     print(f"# fused single-launch pipeline: {fwd.fuse_io}", file=sys.stderr)
-    # warm-up record: trace + compile
+    # warm-up record: trace + compile; also the correctness gate
     t0 = time.time()
     m = fwd()
-    m.get_column(0).decrypt()
+    dec0 = np.asarray(m.get_column(0).decrypt(), dtype=float)
     print(f"# warmup (compile) record: {time.time()-t0:.1f}s", file=sys.stderr)
+    nshared = min(len(dec0), len(raw0))
+    if not np.allclose(dec0[:nshared], raw0[:nshared], rtol=1e-9):
+        print(f"# MISMATCH enc={dec0[:10]} raw={raw0[:10]}", file=sys.stderr)
+        raise SystemExit("encrypted output disagrees with raw oracle")
+    print("# encrypted output matches raw oracle exactly", file=sys.stderr)
 
     lats = []
     for _ in range(n_records):

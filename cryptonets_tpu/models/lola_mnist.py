@@ -231,9 +231,15 @@ def build_lola_large(
                 "w2": 10 * 163 * 16, "b2": 10,
             }
         )
-        w0, b0 = syn["w0"], syn["b0"]
-        w1, b1 = syn["w1"], syn["b1"]
-        w2, b2 = syn["w2"], syn["b2"]
+        # magnitude-match the stand-ins to the real model: the CSV path
+        # divides w0 by 256 (ref `LoLaCryptonets.cs:372`), and the trained
+        # dense weights over ~3000 taps are much smaller than N(0,0.05) —
+        # without this the peak message overflows the 96-bit plain
+        # modulus (measured 115.9 bits raw; corrected: 81.5 bits, giving
+        # ~13 bits of headroom like the real weights must have had).
+        w0, b0 = syn["w0"] / 256.0, syn["b0"]
+        w1, b1 = syn["w1"] * 0.2, syn["b1"]
+        w2, b2 = syn["w2"] * 0.2, syn["b2"]
     geo = dict(
         input_shape=[1, 28, 28],
         kernel_shape=[1, 8, 8],

@@ -55,11 +55,14 @@ CONFIGS = {
     "cryptonets": dict(  # `CryptoNets.cs:17`
         plain_primes=(549764251649, 549764284417), n=8192,
     ),
-    "lola": dict(  # `LoLaCryptonets.cs:208` (needs the full 7-limb data
-        # chain for its two squares + plain-mult stages, so no special
-        # primes fit the n=8192 budget; P-less RNS groups instead)
+    "lola": dict(  # `LoLaCryptonets.cs:208` — needs the full 7-limb data
+        # chain for its two squares + plain-mult stages (217 of the 218
+        # security bits at n=8192), so neither special primes NOR P-less
+        # RNS groups fit: ks_alpha=1 costs ~31 bits of key-switch noise
+        # per rotation and measurably EXHAUSTS the budget before the
+        # output layer (decrypt garbage); digit decomposition (dbc=16)
+        # leaves 5 bits of final budget with exact raw agreement.
         plain_primes=(557057, 638977, 737281, 786433), n=8192,
-        ks_alpha=1,
     ),
     "lola_dense": dict(  # `LoLaCryptonets.cs:123` (SMC 7 of 9 @ 16384)
         plain_primes=(34359771137, 34360754177), n=16384,
