@@ -45,10 +45,18 @@ class CrtBfvFactory:
         rot_steps=(),
         n_special: int = 0,
         ks_alpha: int = 0,
-        ntt_impl: str = "butterfly",
+        ntt_impl: str | None = None,
         _skip_keygen: bool = False,
     ):
+        if ntt_impl is None:
+            # Pallas fused NTT is bit-exact with butterfly (keys
+            # interchangeable) and ~4x faster per transform on TPU; off
+            # TPU it would run in interpret mode, so keep butterfly.
+            ntt_impl = (
+                "pallas" if jax.default_backend() == "tpu" else "butterfly"
+            )
         self.n = n
+        self.ntt_impl = ntt_impl
         self.plain_primes = tuple(int(t) for t in plain_primes)
         self.P = len(self.plain_primes)
         chain = tuple(coeff_modulus) if coeff_modulus else default_coeff_modulus_128(n)

@@ -148,6 +148,12 @@ class BFVParams:
             from ..kernels.matmul_ntt import get_matmul_ntt_context
 
             self._make_ntt = get_matmul_ntt_context
+        elif ntt_impl == "pallas":
+            # fused single-kernel transform, bit-exact with 'butterfly'
+            # (same Longa-Naehrig ordering, so keys are interchangeable)
+            from ..kernels.pallas_ntt import get_pallas_ntt_context
+
+            self._make_ntt = get_pallas_ntt_context
         else:
             self._make_ntt = get_ntt_context
         # Key-switch mode.  n_special > 0 selects hybrid (special-prime)

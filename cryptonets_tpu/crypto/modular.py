@@ -21,8 +21,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import numpy as np
+
 U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+# numpy scalars (not jnp arrays): they inline as literals in traced code,
+# so Pallas kernel bodies can use these helpers without captured consts.
+_MASK16 = np.uint32(0xFFFF)
 
 
 def mul32_hilo(a, b):
@@ -58,7 +62,7 @@ def mul32_hi(a, b):
 
 def cond_sub(x, q):
     """x - q if x >= q else x (x < 2q)."""
-    return x - jnp.where(x >= q, q, jnp.uint32(0)).astype(U32)
+    return x - jnp.where(x >= q, q, np.uint32(0)).astype(U32)
 
 
 def add_mod(a, b, q):
@@ -69,12 +73,12 @@ def add_mod(a, b, q):
 def sub_mod(a, b, q):
     """(a - b) mod q for a,b in [0,q)."""
     d = a - b  # wraps; add q where it underflowed
-    return d + jnp.where(a < b, q, jnp.uint32(0)).astype(U32)
+    return d + jnp.where(a < b, q, np.uint32(0)).astype(U32)
 
 
 def neg_mod(a, q):
     """(-a) mod q for a in [0,q)."""
-    return jnp.where(a == 0, jnp.uint32(0), q - a).astype(U32)
+    return jnp.where(a == 0, np.uint32(0), q - a).astype(U32)
 
 
 # ---------------------------------------------------------------------------
@@ -129,7 +133,7 @@ def mont_mul(a, b, q, qinv_neg):
     m = lo * qinv_neg  # low 32 bits only
     mhi = mul32_hi(m, q)
     # t = (a*b + m*q) / 2^32; low halves cancel, carry = (lo != 0)
-    t = hi + mhi + jnp.where(lo != 0, jnp.uint32(1), jnp.uint32(0))
+    t = hi + mhi + jnp.where(lo != 0, np.uint32(1), np.uint32(0))
     return cond_sub(t, q)
 
 

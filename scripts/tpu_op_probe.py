@@ -73,6 +73,9 @@ def main():
 
     ntt_b = get_ntt_context(n, qs)
     ntt_m = MatmulNTTContext(n, qs)
+    from cryptonets_tpu.kernels.pallas_ntt import PallasNTTContext
+
+    ntt_p = PallasNTTContext(n, qs)
 
     def rep_ntt(ntt):
         def f(v):
@@ -83,10 +86,13 @@ def main():
 
     tb = chain_time(rep_ntt(ntt_b), x)
     tm = chain_time(rep_ntt(ntt_m), x)
+    tp = chain_time(rep_ntt(ntt_p), x)
     print(f"butterfly fwd+inv NTT pair ({len(qs)} limbs): "
           f"{1000*tb/R:.3f} ms")
     print(f"matmul    fwd+inv NTT pair ({len(qs)} limbs): "
           f"{1000*tm/R:.3f} ms")
+    print(f"pallas    fwd+inv NTT pair ({len(qs)} limbs): "
+          f"{1000*tp/R:.3f} ms")
 
     g = bfv.galois_elt_rows(1)
 
