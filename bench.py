@@ -90,6 +90,7 @@ def main():
                 "value": round(lat, 4),
                 "unit": "s",
                 "vs_baseline": round(BASELINE_S / lat, 3),
+                "keygen_s": round(keygen_s, 1),
             }
         )
     )
