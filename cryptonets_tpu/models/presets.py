@@ -60,13 +60,20 @@ CONFIGS = {
         # security bits at n=8192), so neither special primes NOR P-less
         # RNS groups fit: ks_alpha=1 costs ~31 bits of key-switch noise
         # per rotation and measurably EXHAUSTS the budget before the
-        # output layer (decrypt garbage); digit decomposition (dbc=16)
-        # leaves 5 bits of final budget with exact raw agreement.
-        plain_primes=(557057, 638977, 737281, 786433), n=8192,
+        # output layer (decrypt garbage); digit decomposition is used.
+        # dbc=16 leaves only 0-5 bits of final budget across record
+        # seeds (one observed exhaustion); dbc=12 (3 digits/limb)
+        # measures 8 bits at the same failing seed.
+        plain_primes=(557057, 638977, 737281, 786433), n=8192, dbc=12,
     ),
     "lola_dense": dict(  # `LoLaCryptonets.cs:123` (SMC 7 of 9 @ 16384)
+        # SMC-7 = 340 SEAL bits; 11 data limbs (341 bits) measurably
+        # exhausts at the last interleaved dense layer (the interleave
+        # mask multiplies cost ~t bits each), so trade one special
+        # prime for a 12th data limb: 372 data bits + 62 special =
+        # 434 <= 438-bit security budget, final budget 23 bits.
         plain_primes=(34359771137, 34360754177), n=16384,
-        coeff_count=coeff_count_for(16384, 7), n_special=3,
+        coeff_count=coeff_count_for(16384, 7) + 1, n_special=2,
     ),
     "lola_small": dict(  # `LoLaCryptonets.cs:283` (SMC 3 of 5 @ 8192)
         plain_primes=(2277377, 2424833), n=8192,
