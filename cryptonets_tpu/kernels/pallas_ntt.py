@@ -42,9 +42,17 @@ from ..crypto.ntt import _shoup_np, _tables_one
 
 def _vmem_blk(n: int, logn: int) -> int:
     """Largest limb-block size whose expanded tables stay under ~4 MB
-    (Pallas double-buffers blocks, so the live footprint is ~2x)."""
+    (Pallas double-buffers blocks, so the live footprint is ~2x).
+
+    A second cap bounds the kernel's Mosaic *stack*: the fully-unrolled
+    stage loop keeps ~10 live u32 temporaries of K*n lanes per stage,
+    and at n=16384 the 14-stage kernel measured 18.5 MB scoped VMEM
+    with K=2 — past the 16 MB limit — so K*n is held to one 16384-lane
+    row there.  n <= 8192 keeps its empirically-validated blocks
+    (changing them would also invalidate the persistent compile cache)."""
+    cap = 2**15 if n <= 8192 else n  # => K=1 for n >= 16384
     for k in (8, 4, 2, 1):
-        if 2 * logn * k * n * 4 <= 4 * 2**20:
+        if 2 * logn * k * n * 4 <= 4 * 2**20 and k * n <= cap:
             return k
     return 1
 

@@ -7,3 +7,8 @@ at base-conversion reductions), plain-CRT primes -> pure batch axis.
 """
 
 from .mesh import make_mesh, shard_ciphertext_data, batch_sharding
+from .distributed import (
+    init_multihost,
+    local_record_slice,
+    global_ciphertext_batch,
+)

@@ -99,3 +99,27 @@ def test_sharded_multiply_collectives(fac):
         )
     )
     np.testing.assert_array_equal(got, expect)
+
+
+def test_multihost_helpers_single_process(fac):
+    """`parallel.distributed` on a 1-process rig: init is a no-op, the
+    local slice covers everything, and global_ciphertext_batch places
+    data under the batch sharding identically to shard-by-device-put."""
+    from cryptonets_tpu.parallel import (
+        global_ciphertext_batch,
+        init_multihost,
+        local_record_slice,
+    )
+
+    init_multihost()  # no coordinator: must be a no-op, not an error
+    assert local_record_slice(7) == slice(0, 7)
+
+    mesh = make_mesh(8)
+    v = fac.get_encrypted_vector(np.arange(4.0), "dense", 1.0)
+    data = jnp.concatenate([v.data] * 4, axis=1)
+    arr = global_ciphertext_batch(np.asarray(data), mesh)
+    assert arr.shape == data.shape
+    # semantics preserved through the distributed placement
+    np.testing.assert_array_equal(np.asarray(arr), np.asarray(data))
+    # and it is actually sharded over the batch axis
+    assert len(arr.sharding.device_set) == 8 or mesh.shape["batch"] == 1
