@@ -5,8 +5,9 @@ Baseline: 2.2 s published single-image latency (BASELINE.md north star);
 vs_baseline > 1 means faster than the reference.
 
 Env knobs:
-  BENCH_NETWORK = LoLa | LoLaSmall   (default LoLa: the full published
-                   pipeline behind the 2.2 s baseline)
+  BENCH_NETWORK = LoLa | LoLaSmall | Cifar  (default LoLa: the full
+                   published pipeline behind the 2.2 s baseline; Cifar
+                   benches LoLa-CIFAR vs its published 740 s)
   BENCH_RECORDS = number of timed records (default 3)
   BENCH_PLATFORM = cpu to force CPU
   BENCH_FUSE = 0 to disable the fused single-launch pipeline
@@ -41,9 +42,19 @@ def main():
     network = os.environ.get("BENCH_NETWORK", "LoLa")
     n_records = int(os.environ.get("BENCH_RECORDS", "3"))
     fuse = os.environ.get("BENCH_FUSE", "1") != "0"
-    builder = lola_mnist.BUILDERS[network]
+    if network == "Cifar":
+        from cryptonets_tpu.data.preprocess import synthetic_cifar_records
+        from cryptonets_tpu.models import lola_cifar
 
-    records = synthetic_mnist_records(n_records + 1, seed=11)
+        builder = lola_cifar.build
+        records = synthetic_cifar_records(n_records + 1, seed=11)
+        baseline_s = 740.0  # `LolaCifarCryptoNet.cs:28-31` published
+        metric = "LoLa-CIFAR encrypted single-image latency"
+    else:
+        builder = lola_mnist.BUILDERS[network]
+        records = synthetic_mnist_records(n_records + 1, seed=11)
+        baseline_s = BASELINE_S
+        metric = f"{network}-MNIST encrypted single-image latency"
 
     # raw oracle on record 0: the timed encrypted pipeline must reproduce
     # these logits exactly (fixed-point arithmetic is deterministic) —
@@ -86,10 +97,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"{network}-MNIST encrypted single-image latency",
+                "metric": metric,
                 "value": round(lat, 4),
                 "unit": "s",
-                "vs_baseline": round(BASELINE_S / lat, 3),
+                "vs_baseline": round(baseline_s / lat, 3),
                 "keygen_s": round(keygen_s, 1),
             }
         )
