@@ -237,19 +237,28 @@ class HEVector:
         ).data
 
     def rotate(self, amount: int) -> "HEVector":
-        """SEAL RotateRows(amount): each (n/2)-row rotates left by amount
-        (ref `AtomicSealBfvVector.cs:1410-1430`)."""
+        """SEAL RotateRows(amount): each (n/2)-row rotates left by amount.
+
+        Multi-block vectors rotate EVERY block independently (each
+        ciphertext's two rows rotate within themselves) — `_rot_rows`
+        batches over [P, C] in one program.  NOTE: the reference rotates
+        only encData[0] and silently drops the remaining blocks
+        (`AtomicSealBfvVector.cs:1414-1430`); per-block rotation is the
+        consistent generalization and matches the single-block case
+        exactly."""
         if not self.is_encrypted:
-            # Raw emulation (flat block, zero-fill outside dim) lives in the
-            # Raw backend; plain HEVectors emulate the encrypted semantics.
+            # plain HEVectors emulate the encrypted semantics per block
             row = self.factory.n // 2
-            sv = self._slot_values()[0]
-            lo, hi = sv[:row], sv[row:]
-            vals = np.concatenate(
-                [np.roll(lo, -amount), np.roll(hi, -amount)]
+            sv = self._slot_values()
+            out = np.stack(
+                [
+                    np.concatenate(
+                        [np.roll(b[:row], -amount), np.roll(b[row:], -amount)]
+                    )
+                    for b in sv
+                ]
             )
-            return self._clone_meta(values=vals[: self.dim])
-        assert self.num_blocks == 1, "rotate expects a single block"
+            return self._clone_meta(values=out.reshape(-1)[: self.dim])
         return self._clone_meta(data=self._rot_rows(amount))
 
     # ----------------------------------------------------------- slot sums
@@ -331,7 +340,14 @@ class HEVector:
     def permute(self, selections, shifts, output_dim: int) -> "HEVector":
         """sum_i RotateRows(self * sel_i, shifts[i]) (ref
         `AtomicSealBfvVector.cs:1436-1475`)."""
-        assert self.fmt == DENSE and self.num_blocks == 1
+        if self.fmt != DENSE:
+            raise ValueError("Permute works only on dense vectors")
+        if self.num_blocks != 1:
+            # the reference throws identically ("can permute only a
+            # single block", `AtomicSealBfvVector.cs:1443`)
+            raise ValueError(
+                f"can permute only a single block (got {self.num_blocks})"
+            )
         p = self.factory
         q = p.bfv[0].p.chain_q.q
         res = None
@@ -394,7 +410,15 @@ class HEVector:
             return p.bfv[0].mul_plain(Ciphertext(data), mask[:, :, None]).data
 
         for kidx, v in enumerate(vecs):
-            assert v.num_blocks == 1 and v.fmt == DENSE
+            if v.num_blocks != 1 or v.fmt != DENSE:
+                # the reference's Interleave also assumes single-block
+                # dense inputs (`AtomicSealBfvVector.cs:600-617` indexes
+                # encData[0] only); multi-block inputs must be split by
+                # the caller (LoLa packing never produces them)
+                raise ValueError(
+                    "interleave inputs must be single-block dense "
+                    f"vectors (got blocks={v.num_blocks}, fmt={v.fmt})"
+                )
             this_shift = shift * kidx
             if this_shift < 0:
                 this_shift = row + this_shift

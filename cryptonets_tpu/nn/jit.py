@@ -10,10 +10,9 @@ performance advantage of the TPU design (SURVEY.md section 7, stage 4).
 
 from __future__ import annotations
 
-import jax
-
 from ..api.matrix import HEMatrix
 from ..api.vector import HEVector
+from ..utils.hoist import hoist_jit
 from .layers import EncryptLayer
 from .network import Layer
 
@@ -92,7 +91,11 @@ class EncryptedForward:
 
         self._in_meta = in_meta
         self._capture = capture
-        self._jitted = jax.jit(forward) if self.use_jit else forward
+        # hoist_jit (not jax.jit): keys/masks/weight forms become program
+        # ARGUMENTS, not HLO constants — the compiled program is small and
+        # key-independent (round-2 VERDICT item 1: the HTTP 413 regression
+        # was ~240 MB of switch keys baked into the relay-shipped HLO).
+        self._jitted = hoist_jit(forward) if self.use_jit else forward
 
     def run_encrypted(self, enc_matrix: HEMatrix) -> HEMatrix:
         if self._jitted is None or [
@@ -137,7 +140,7 @@ class EncryptedForward:
 
         self._in_meta = ("fused", V, C, dim, scale)
         self._capture = capture
-        self._jitted = jax.jit(forward)
+        self._jitted = hoist_jit(forward)
 
     def _run_fused(self, raw) -> HEMatrix:
         fac = self.encrypt_layer.factory

@@ -38,18 +38,26 @@ def init_multihost(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    *,
+    single_process: bool = False,
 ):
     """Initialize the multi-process runtime (idempotent).
 
     On a pod slice all three arguments are auto-detected from the TPU
-    metadata and may be None; on CPU/GPU clusters pass them explicitly
-    (ref behavior being replaced: none — the reference cannot span
-    hosts at all).
+    metadata and may be None (`jax.distributed.initialize()` with no
+    args); on CPU/GPU clusters pass them explicitly.  Single-process
+    rigs must OPT IN with `single_process=True` — it is never inferred
+    from absent args, so a pod host that forgets its coordinator fails
+    loudly instead of silently duplicating the whole batch.
+
+    Idempotency is checked via `jax.distributed.is_initialized()`, which
+    does NOT touch the XLA backend (calling `jax.process_count()` here
+    would instantiate the backend and make a later `initialize()` raise).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator_address is None and num_processes in (None, 1):
-        return  # single-process rig: nothing to do, same code path
+    if jax.distributed.is_initialized():
+        return
+    if single_process:
+        return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -60,12 +68,22 @@ def init_multihost(
 def local_record_slice(n_records: int) -> slice:
     """This host's contiguous slice of a global record batch.
 
-    Records are dealt round-robin-contiguously: host i gets records
-    [i*ceil(R/H), ...), the standard data-parallel split.
+    Host i gets records [i*R/H, (i+1)*R/H) — the standard data-parallel
+    split.  R must divide evenly: `make_array_from_process_local_data`
+    requires every host's shard consistent with the global batch
+    sharding, so ragged splits would fail at assembly time with an
+    opaque error.  Pad the batch (e.g. repeat the last record) to a
+    multiple of `jax.process_count()` before slicing.
     """
     h, i = jax.process_count(), jax.process_index()
-    per = -(-n_records // h)
-    return slice(i * per, min(n_records, (i + 1) * per))
+    if n_records % h:
+        raise ValueError(
+            f"record count {n_records} must be a multiple of the host "
+            f"count {h} (pad the batch before slicing; uneven local "
+            "shards cannot be assembled into one global batch array)"
+        )
+    per = n_records // h
+    return slice(i * per, (i + 1) * per)
 
 
 def global_ciphertext_batch(local_data, mesh=None, batch_axis: int = 1):

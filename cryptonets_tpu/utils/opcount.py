@@ -2,8 +2,11 @@
 `AtomicSealBfvVector.cs:211-294`).
 
 The reference guards these with [Conditional("DEBUG")] and Interlocked
-adds; here counting is cheap trace-time Python (counts reflect the ops
-*traced*, which under jit equals ops executed per call)."""
+adds; here counting is cheap trace-time Python.  `OPS.count` fires while
+a program is TRACED; `utils.hoist.hoist_jit` snapshots the counts each
+trace accumulates and replays them on every cached call, so totals stay
+truthful for record 1 and record N alike.  (Eager/unjitted paths count
+every executed op directly.)"""
 
 from __future__ import annotations
 
