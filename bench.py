@@ -5,12 +5,17 @@ Baseline: 2.2 s published single-image latency (BASELINE.md north star);
 vs_baseline > 1 means faster than the reference.
 
 Env knobs:
-  BENCH_NETWORK = LoLa | LoLaSmall | Cifar  (default LoLa: the full
-                   published pipeline behind the 2.2 s baseline; Cifar
-                   benches LoLa-CIFAR vs its published 740 s)
+  BENCH_NETWORK = LoLa | LoLaSmall | LoLaDense | LoLaLarge | Cifar |
+                   Caltech  (default LoLa: the published 2.2 s pipeline;
+                   Cifar benches vs its published 740 s; Caltech vs the
+                   156-234 ms README run log; LoLaSmall vs the LoLa
+                   paper's 0.29 s small-network figure; LoLaDense /
+                   LoLaLarge have NO published latency — vs_baseline is
+                   null and the numbers are recorded for PARITY.md)
   BENCH_RECORDS = number of timed records (default 3)
   BENCH_PLATFORM = cpu to force CPU
   BENCH_FUSE = 0 to disable the fused single-launch pipeline
+  BENCH_BUDGET = 1 to also report the end-of-network noise budget
 """
 
 from __future__ import annotations
@@ -50,10 +55,26 @@ def main():
         records = synthetic_cifar_records(n_records + 1, seed=11)
         baseline_s = 740.0  # `LolaCifarCryptoNet.cs:28-31` published
         metric = "LoLa-CIFAR encrypted single-image latency"
+    elif network == "Caltech":
+        from cryptonets_tpu.data.preprocess import synthetic_feature_records
+        from cryptonets_tpu.models import caltech101
+
+        def builder(encrypt, records=None):
+            return caltech101.build(encrypt, records=records)
+
+        records = synthetic_feature_records(
+            n_records + 1, caltech101.N_FEATURES, seed=11
+        )
+        baseline_s = 0.195  # README.md:178-197 run log (156-234 ms)
+        metric = "Caltech-101 encrypted single-record latency"
     else:
         builder = lola_mnist.BUILDERS[network]
         records = synthetic_mnist_records(n_records + 1, seed=11)
-        baseline_s = BASELINE_S
+        # LoLa: published 2.2 s; LoLaSmall: LoLa paper's 0.29 s small
+        # network; LoLaDense/LoLaLarge: no published latency exists
+        baseline_s = {
+            "LoLa": BASELINE_S, "LoLaSmall": 0.29,
+        }.get(network)
         metric = f"{network}-MNIST encrypted single-image latency"
 
     # raw oracle on record 0: the timed encrypted pipeline must reproduce
@@ -86,6 +107,13 @@ def main():
         raise SystemExit("encrypted output disagrees with raw oracle")
     print("# encrypted output matches raw oracle exactly", file=sys.stderr)
 
+    budget = None
+    if os.environ.get("BENCH_BUDGET") == "1":
+        from cryptonets_tpu.api.tracker import CryptoTracker
+
+        budget = CryptoTracker.test_vector_budget(m.get_column(0), warn=False)
+        print(f"# end-of-network noise budget: {budget} bits", file=sys.stderr)
+
     lats = []
     for _ in range(n_records):
         t0 = time.time()
@@ -94,17 +122,16 @@ def main():
         lats.append(time.time() - t0)
         print(f"# record latency {lats[-1]:.3f}s", file=sys.stderr)
     lat = float(np.median(lats))
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(lat, 4),
-                "unit": "s",
-                "vs_baseline": round(baseline_s / lat, 3),
-                "keygen_s": round(keygen_s, 1),
-            }
-        )
-    )
+    out = {
+        "metric": metric,
+        "value": round(lat, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / lat, 3) if baseline_s else None,
+        "keygen_s": round(keygen_s, 1),
+    }
+    if budget is not None:
+        out["final_budget_bits"] = budget
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

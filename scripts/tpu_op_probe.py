@@ -1,20 +1,40 @@
-"""Microbenchmark the primitive HE ops on the real TPU at LoLa shapes:
-per-op cost of butterfly NTT vs MXU matmul NTT, Galois rotation (gather +
-hybrid key switch), BEHZ ct x ct multiply, and gamma decrypt.  Chains R
-sequential dependent applications inside one jit so per-launch overhead
-(~40 ms on this relay) amortizes away.
+"""Roofline probe: per-kernel cost of the primitive HE ops on the real
+TPU, against HBM speed-of-light bounds (BASELINE.md: "per-kernel
+NTTs/sec/chip at HBM/MXU speed-of-light bounds").
+
+Each kernel chains R sequential dependent applications inside one jit so
+the ~40 ms relay launch overhead amortizes away.  For every kernel we
+account the MINIMUM algorithmic HBM traffic (inputs + outputs + key/table
+material that cannot stay resident in VMEM across applications) and
+report achieved GB/s as a fraction of the chip's HBM bandwidth.  All
+these kernels are memory-bound on TPU: the arithmetic per byte is far
+below the VPU/MXU compute:bandwidth ratio, so HBM is the binding
+roofline; the matmul NTT is additionally checked against the MXU bound.
 
 Usage: python scripts/tpu_op_probe.py [--n 8192] [--reps 20] [--cpu]
+       [--json out.json]
+
+v5e peak numbers (public spec): HBM 819 GB/s, bf16 197 TFLOP/s.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HBM_GBPS = 819.0       # TPU v5e HBM bandwidth
+MXU_TFLOPS = 197.0     # TPU v5e bf16 peak
+
+
+def jax_block(x):
+    import jax
+
+    jax.block_until_ready(x)
 
 
 def chain_time(jitted, x, reps_outer: int = 3):
@@ -29,17 +49,12 @@ def chain_time(jitted, x, reps_outer: int = 3):
     return best
 
 
-def jax_block(x):
-    import jax
-
-    jax.block_until_ready(x)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--json", default=None)
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -56,26 +71,39 @@ def main():
 
     n = args.n
     R = args.reps
-    qs = ntt_primes(n, 31, 7)  # LoLa-like chain
-    params = BFVParams(n, ntt_primes(n, 20, 1)[0], coeff_modulus=qs,
-                       dbc=16, ks_alpha=1)
-    bfv = BFV(params)
-    keys = bfv.keygen(seed=1)
+    k = 7
+    qs = ntt_primes(n, 31, k)  # LoLa-like chain
+    t_plain = ntt_primes(n, 20, 1)[0]
     rng = np.random.default_rng(0)
     x = jnp.asarray(
-        rng.integers(0, min(qs), size=(len(qs), n)).astype(np.uint32)
-    )
-    ct = bfv.encrypt(
-        keys,
-        jnp.asarray(params.plain_to_residues(rng.integers(0, 100, n))),
-        jax.random.key(1),
+        rng.integers(0, min(qs), size=(k, n)).astype(np.uint32)
     )
 
-    ntt_b = get_ntt_context(n, qs)
-    ntt_m = MatmulNTTContext(n, qs)
-    from cryptonets_tpu.kernels.pallas_ntt import PallasNTTContext
+    results = {"n": n, "k": k, "platform": jax.default_backend(),
+               "hbm_gbps_peak": HBM_GBPS, "kernels": {}}
 
-    ntt_p = PallasNTTContext(n, qs)
+    def report(name, seconds_per_app, min_bytes, note="", extra=None):
+        gbps = min_bytes / seconds_per_app / 1e9
+        pct = 100.0 * gbps / HBM_GBPS
+        row = {
+            "ms": round(1000 * seconds_per_app, 4),
+            "min_hbm_bytes": int(min_bytes),
+            "achieved_gbps": round(gbps, 1),
+            "pct_of_hbm_bound": round(pct, 1),
+        }
+        if extra:
+            row.update(extra)
+        if note:
+            row["note"] = note
+        results["kernels"][name] = row
+        print(
+            f"{name:42s} {1000*seconds_per_app:9.3f} ms  "
+            f"{gbps:7.1f} GB/s  {pct:5.1f}% of HBM bound {note}"
+        )
+
+    # ---- NTT pair (forward+inverse) on [k, n] uint32 ------------------
+    # Min traffic per pair: read 4kn + write 4kn (twiddles stay in VMEM).
+    ntt_pair_bytes = 8 * k * n
 
     def rep_ntt(ntt):
         def f(v):
@@ -84,55 +112,109 @@ def main():
             return v
         return jax.jit(f)
 
-    tb = chain_time(rep_ntt(ntt_b), x)
-    tm = chain_time(rep_ntt(ntt_m), x)
-    tp = chain_time(rep_ntt(ntt_p), x)
-    print(f"butterfly fwd+inv NTT pair ({len(qs)} limbs): "
-          f"{1000*tb/R:.3f} ms")
-    print(f"matmul    fwd+inv NTT pair ({len(qs)} limbs): "
-          f"{1000*tm/R:.3f} ms")
-    print(f"pallas    fwd+inv NTT pair ({len(qs)} limbs): "
-          f"{1000*tp/R:.3f} ms")
+    ntt_b = get_ntt_context(n, qs)
+    tb = chain_time(rep_ntt(ntt_b), x) / R
+    report("butterfly NTT fwd+inv pair", tb, ntt_pair_bytes,
+           extra={"ntt_pairs_per_sec_per_chip": round(1.0 / tb, 1)})
 
-    g = bfv.galois_elt_rows(1)
+    ntt_m = MatmulNTTContext(n, qs)
+    tm = chain_time(rep_ntt(ntt_m), x) / R
+    # MXU bound for the 4-step formulation: per limb per transform,
+    # two [n1, n1] x [n1, n2] passes in 3x3 digit planes of bf16.
+    n1 = 1 << ((n - 1).bit_length() + 1) // 2
+    flops = 2 * k * 2 * (2 * n1 * n * 9)  # pair = fwd+inv, 9 digit planes
+    mxu_ms = 1000 * flops / (MXU_TFLOPS * 1e12)
+    report("matmul (4-step MXU) NTT fwd+inv pair", tm, ntt_pair_bytes,
+           extra={"mxu_bound_ms": round(mxu_ms, 4),
+                  "pct_of_mxu_bound": round(100 * mxu_ms / (1000 * tm), 1),
+                  "ntt_pairs_per_sec_per_chip": round(1.0 / tm, 1)})
 
-    def rot(c):
-        for _ in range(R):
-            c = bfv.apply_galois(c, g, keys)
-        return c
+    from cryptonets_tpu.kernels.pallas_ntt import PallasNTTContext
 
-    tr = chain_time(jax.jit(lambda c: rot(c)), ct)
-    print(f"rotation (gather + hybrid key switch): {1000*tr/R:.3f} ms")
+    ntt_p = PallasNTTContext(n, qs)
+    tp = chain_time(rep_ntt(ntt_p), x) / R
+    report("pallas fused NTT fwd+inv pair", tp, ntt_pair_bytes,
+           extra={"ntt_pairs_per_sec_per_chip": round(1.0 / tp, 1)})
 
-    def mul(c):
-        for _ in range(R):
-            c = bfv.relinearize(bfv.multiply(c, ct), keys)
-        return c
+    # ---- rotation / key switch ---------------------------------------
+    # P-less hybrid (alpha=1, LoLaSmall/Large style) and digit mode
+    # (dbc=12, LoLa style).  Min traffic: ct in+out 2*2*4kn, switch keys
+    # read once per application: hybrid alpha=1 -> 2 * k*k*4n bytes;
+    # digit dbc -> 2 * (k*D)*k*4n bytes.
+    for mode, kw in (
+        ("hybrid-alpha1", dict(ks_alpha=1)),
+        ("digit-dbc12", dict(dbc=12)),
+    ):
+        params = BFVParams(n, t_plain, coeff_modulus=qs, **kw)
+        bfv = BFV(params)
+        keys = bfv.keygen(seed=1)
+        ct = bfv.encrypt(
+            keys,
+            jnp.asarray(params.plain_to_residues(rng.integers(0, 100, n))),
+            jax.random.key(1),
+        )
+        g = bfv.galois_elt_rows(1)
 
-    tmu = chain_time(jax.jit(lambda c: mul(c)), ct)
-    print(f"ct x ct multiply + relin: {1000*tmu/R:.3f} ms")
+        def rot(c, bfv=bfv, keys=keys, g=g):
+            for _ in range(R):
+                c = bfv.apply_galois(c, g, keys)
+            return c
 
-    def dec(c):
-        outs = []
-        for _ in range(R):
-            outs.append(bfv.decrypt_residues_mod_t(keys, c))
-        return jnp.stack(outs)
+        tr = chain_time(jax.jit(rot), ct) / R
+        if mode.startswith("hybrid"):
+            key_bytes = 2 * k * k * 4 * n
+        else:
+            D = params.digits_per_limb
+            key_bytes = 2 * (k * D) * k * 4 * n
+        rot_bytes = 16 * k * n + key_bytes
+        report(f"rotation+keyswitch [{mode}]", tr, rot_bytes)
 
-    td = chain_time(jax.jit(dec), ct)
-    print(f"gamma decrypt: {1000*td/R:.3f} ms")
+        if mode == "hybrid-alpha1":
+            # ---- BEHZ multiply + relin --------------------------------
+            # Min traffic: two input cts read 2*16kn/2... a,b [2,k,n]
+            # each 8kn, output [2,k,n] 8kn, Bsk intermediates ~ 2 passes
+            # of [3, k+2, n] (write+read) = 2*3*(k+2)*4n, relin keys
+            # 2*k*k*4n.
+            kb = len(params.bsk_list)
+            mul_bytes = (3 * 8 * k * n + 2 * 2 * 3 * kb * 4 * n
+                         + 2 * k * k * 4 * n)
 
-    # pure gather cost (the automorphism permutation alone)
-    from cryptonets_tpu.crypto.bfv import _automorphism_tables
+            def mul(c, bfv=bfv, keys=keys, ct=ct):
+                for _ in range(R):
+                    c = bfv.relinearize(bfv.multiply(c, ct), keys)
+                return c
 
-    src, neg = _automorphism_tables(n, g)
+            tmu = chain_time(jax.jit(mul), ct) / R
+            report("BEHZ ct x ct multiply + relin", tmu, mul_bytes)
 
-    def gather(v):
-        for _ in range(R):
-            v = v[..., src]
-        return v
+            # ---- gamma decrypt ----------------------------------------
+            # Min traffic: ct read 8kn, output 4n.
+            def dec(c, bfv=bfv, keys=keys):
+                outs = []
+                for _ in range(R):
+                    outs.append(bfv.decrypt_residues_mod_t(keys, c))
+                return jnp.stack(outs)
 
-    tg = chain_time(jax.jit(gather), ct.data)
-    print(f"automorphism gather alone: {1000*tg/R:.3f} ms")
+            td = chain_time(jax.jit(dec), ct) / R
+            report("gamma decrypt (scale-and-round)", td, 8 * k * n + 4 * n)
+
+            # ---- automorphism gather alone ----------------------------
+            from cryptonets_tpu.crypto.bfv import _automorphism_tables
+
+            src, _neg = _automorphism_tables(n, g)
+
+            def gather(v, src=src):
+                for _ in range(R):
+                    v = v[..., src]
+                return v
+
+            tg = chain_time(jax.jit(gather), ct.data) / R
+            report("automorphism gather alone", tg, 2 * 8 * k * n)
+
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
