@@ -473,8 +473,8 @@ class KeySet(NamedTuple):
 
 
 @lru_cache(maxsize=None)
-def _automorphism_tables(n: int, g: int):
-    """Gather indices + negate mask for a(x) -> a(x^g) mod x^n + 1."""
+def _automorphism_tables_np(n: int, g: int):
+    """Host-side gather indices + negate mask for a(x) -> a(x^g)."""
     i = np.arange(n, dtype=np.int64)
     r = (i * g) % (2 * n)
     pos = r % n
@@ -482,6 +482,12 @@ def _automorphism_tables(n: int, g: int):
     neg = np.empty(n, bool)
     src[pos] = i
     neg[pos] = r >= n
+    return src, neg
+
+
+def _automorphism_tables(n: int, g: int):
+    """Gather indices + negate mask for a(x) -> a(x^g) mod x^n + 1."""
+    src, neg = _automorphism_tables_np(n, g)
     return jnp.asarray(src), jnp.asarray(neg)
 
 
@@ -501,14 +507,46 @@ class BFV:
         self._make_switch_keys_batched_hybrid = jax.jit(
             self._make_switch_keys_batched_hybrid
         )
+        # whole keygen as ONE program: on relay-attached TPUs every eager
+        # dispatch costs ~40 ms, so the old op-by-op keygen spent ~40 s on
+        # launch overhead alone.  The compiled program is key-value
+        # independent (PRNG key + automorphism tables are arguments), so
+        # the persistent compile cache serves every factory of the same
+        # geometry.
+        self._keygen_impl = jax.jit(
+            self._keygen_impl, static_argnames=("g_list",)
+        )
 
     # ------------------------------------------------------------------ keys
     def keygen(self, seed: int | None = None, rot_steps=(), column_key=True):
-        """Generate all keys. `rot_steps`: extra Galois keys beyond the
-        power-of-two ladder (SEAL's GaloisKeys default is the pow2 ladder,
-        composed for arbitrary steps)."""
+        """Generate all keys in a single compiled program. `rot_steps`:
+        extra Galois keys beyond the power-of-two ladder (SEAL's
+        GaloisKeys default is the pow2 ladder, composed for arbitrary
+        steps)."""
         p = self.p
         key = jax.random.key(p.seed if seed is None else seed)
+
+        row = p.n // 2
+        steps_set = set()
+        for j in range(int(math.log2(row))):
+            steps_set.add(1 << j)
+            steps_set.add(row - (1 << j))  # negative pow2 rotations
+        steps_set.update(s % row for s in rot_steps if s % row)
+        g_list = [self.galois_elt_rows(st) for st in sorted(steps_set)]
+        if column_key:
+            g_list.append(2 * p.n - 1)
+
+        if g_list:
+            tabs = [_automorphism_tables_np(p.n, g) for g in g_list]
+            srcg = jnp.asarray(np.stack([t[0] for t in tabs]))
+            negm = jnp.asarray(np.stack([t[1] for t in tabs]))
+        else:
+            srcg = jnp.zeros((0, p.n), jnp.int32)
+            negm = jnp.zeros((0, p.n), bool)
+        return self._keygen_impl(key, srcg, negm, g_list=tuple(g_list))
+
+    def _keygen_impl(self, key, srcg, negm, *, g_list):
+        p = self.p
         ks = iter(jax.random.split(key, 4096))
 
         s_small = sampling.ternary(next(ks), (p.n,))
@@ -528,19 +566,6 @@ class BFV:
             p.chain_q.q,
         )
 
-        galois = {}
-        row = p.n // 2
-        steps_set = set()
-        for j in range(int(math.log2(row))):
-            steps_set.add(1 << j)
-            steps_set.add(row - (1 << j))  # negative pow2 rotations
-        steps_set.update(s % row for s in rot_steps if s % row)
-        for st in sorted(steps_set):
-            galois[self.galois_elt_rows(st)] = None
-        if column_key:
-            galois[2 * p.n - 1] = None
-        g_list = list(galois)
-
         # all switch-key targets at once: s^2 then sigma_g(s) per element
         hybrid = p.ks_hybrid
         if hybrid:
@@ -556,17 +581,14 @@ class BFV:
             ck, nttk, sk_mont, tgt_s2 = (
                 p.chain_q, p.ntt_q, s_mont, s2_hat
             )
-        sg_smalls = []
-        for g in g_list:
-            srcg, negm = _automorphism_tables(p.n, g)
-            sg_smalls.append(jnp.where(negm, -s_small[srcg], s_small[srcg]))
+        if g_list:
+            sg = jnp.take(s_small, srcg, axis=0)  # [G, N]
+            sg_smalls = jnp.where(negm, -sg, sg)
         targets = jnp.concatenate(
             [
                 tgt_s2[None],
                 nttk.forward(
-                    sampling.small_to_residues(
-                        jnp.stack(sg_smalls), ck.q
-                    )
+                    sampling.small_to_residues(sg_smalls, ck.q)
                 )
                 if g_list
                 else jnp.zeros((0,) + tgt_s2.shape, tgt_s2.dtype),
@@ -579,8 +601,10 @@ class BFV:
         )
         k0_all, k1_all = maker(targets, sk_mont, next(ks))
         relin = SwitchKeys(k0=k0_all[0], k1=k1_all[0])
-        for gi, g in enumerate(g_list):
-            galois[g] = SwitchKeys(k0=k0_all[gi + 1], k1=k1_all[gi + 1])
+        galois = {
+            g: SwitchKeys(k0=k0_all[gi + 1], k1=k1_all[gi + 1])
+            for gi, g in enumerate(g_list)
+        }
 
         return KeySet(
             s_hat_mont=s_mont,
