@@ -1,0 +1,182 @@
+"""Baby-step/giant-step diagonal matvec for large dense layers.
+
+The reference evaluates a dense layer over a packed vector as one
+DotProduct per output row (`EncryptedSealBfvMatrix.cs:79-120`,
+`LLDenseLayer.cs:63-75`): R rows x ~log2(n/2) key-switched rotations
+each.  For LoLa-CIFAR's conv-as-dense layer (R=5488 outputs over 16268
+inputs, `LolaCifarCryptoNet.cs:91-106`) that is ~77k key switches — the
+dominant share of the reference's ~740 s per image — and the per-row
+masks alone would need ~10 GB on chip.
+
+TPU-native replacement: the Halevi-Shoup BSGS diagonal decomposition,
+adapted to BFV's 2x(n/2) slot-row structure.  Write each slot index as
+(r, c) with row r in {0,1} and column c in [0, row).  RotateRows by s
+maps value at (r, (c+s) mod row) into slot (r, c) (left rotation), and
+RotateColumns swaps the rows.  Grouping the matrix entries W[i, j] by
+column displacement d = (c_j - c_i) mod row and row flip f = r_i ^ r_j:
+
+    y = sum_d sum_f diag[d, f] * rot_d(u_f),     u_0 = v, u_1 = colswap(v)
+    diag[d, f][(r, c)] = W[(r, c), ((r^f)*row + (c+d) mod row)]
+
+and with d = g*a + b (baby b < g, giant a < G = row/g), pre-rotating the
+diagonals by -g*a at the SLOT level (free, host-side):
+
+    y = sum_a rot_{g*a}( sum_{b,f} diag'[a, b, f] * rot_b(u_f) )
+    diag'[a, b, f][(r, c)] = W[(r, c'), ((r^f)*row + (c+b) mod row)],
+    c' = (c - g*a) mod row
+
+Cost: F*(g-1) baby rotations (computed incrementally, each a single-hop
++1 key switch) + (G-1) giant rotations (Horner: y = acc_0 + rot_g(acc_1 +
+rot_g(...)), each a single power-of-two hop) + one column swap — ~190-250
+key switches TOTAL for any R, vs R*log2(row).  The diagonal plaintexts
+are held as one int32 slot-value table shared across plain primes and
+limbs; their encode (Z_t iNTT + per-limb NTT_q) runs on device inside the
+network program, chunked per giant step, so nothing close to the full
+[P, row*F, k, N] mult-form tensor is ever materialized.
+
+Requires a factory with device-side encoding (every plain prime t <
+2**31 and < min q) and a single-block dense input.  Output packing: y[i]
+in flat slot i, exactly the reference's ForceDenseFormat placement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..crypto.bfv import Ciphertext, mod_sum
+from ..crypto.modular import add_mod
+from ..utils.opcount import OPS
+
+
+def _choose_g(row: int, F: int, cap: int = 256) -> int:
+    """Power-of-two baby count minimizing F*(g-1) + (row/g - 1)."""
+    best_g, best_cost = 1, None
+    g = 1
+    while g <= min(row, cap):
+        cost = F * (g - 1) + (row // g - 1)
+        if best_cost is None or cost < best_cost:
+            best_g, best_cost = g, cost
+        g *= 2
+    return best_g
+
+
+class BsgsDenseForm:
+    """Host-side preparation: diagonal slot-value table for W [R, D]."""
+
+    def __init__(self, factory, w_int: np.ndarray, out_dim: int, in_dim: int):
+        n = factory.n
+        row = n // 2
+        R, D = int(out_dim), int(in_dim)
+        assert R <= n and D <= n, (R, D, n)
+        assert w_int.shape == (R, D), (w_int.shape, R, D)
+        w_int = np.asarray(w_int, dtype=np.int64)
+        assert np.abs(w_int).max(initial=0) < (1 << 31), "weights overflow int32"
+        if not getattr(factory, "_device_encode", False):
+            raise ValueError(
+                "BSGS dense matvec needs device-side encoding "
+                "(every plain prime < 2**31); use the per-row path"
+            )
+        self.factory = factory
+        self.out_dim = R
+        self.in_dim = D
+        # flip axis needed only when inputs/outputs span both slot rows
+        F = 2 if (R > row or D > row) else 1
+        self.F = F
+        g = _choose_g(row, F)
+        G = row // g
+        self.g, self.G = g, G
+
+        Wfull = np.zeros((n, n), np.int64)
+        Wfull[:R, :D] = w_int
+        r = np.arange(n) // row           # [n] slot row
+        c = np.arange(n) % row            # [n] slot column
+        imap = np.asarray(factory.encoders[0].index_map)
+        table = np.zeros((G, g, F, n), np.int32)
+        active = []
+        jcol = ((c[None, :] + np.arange(g)[:, None]) % row)  # [g, n]
+        for a in range(G):
+            i_idx = r * row + (c - g * a) % row               # [n]
+            chunk = np.zeros((g, F, n), np.int64)
+            for f in range(F):
+                j_idx = (r[None, :] ^ f) * row + jcol          # [g, n]
+                chunk[:, f, :] = Wfull[i_idx[None, :], j_idx]
+            if chunk.any():
+                active.append(a)
+                # store index-mapped (encoder input order) slot values
+                t_im = np.zeros_like(chunk)
+                t_im[..., imap] = chunk
+                table[a] = t_im.astype(np.int32)
+        self.table = table
+        self.active = active  # ascending
+
+
+def _encode_diag_chunk(fac, tbl_a):
+    """In-trace device encode: [g, F, n] int32 index-mapped slot values ->
+    plaintext mult forms [P, g, F, k, N] (Z_t iNTT + NTT_q + Montgomery).
+    Coefficients mod t broadcast over limbs since t < every q."""
+    g, F, n = tbl_a.shape
+    k = len(fac.coeff_modulus)
+    flat = tbl_a.reshape(g * F, 1, n)
+    per = []
+    for pi in range(fac.P):
+        t = jnp.int32(fac.plain_primes[pi])
+        buf = jnp.where(flat < 0, flat + t, flat).astype(jnp.uint32)
+        coeffs = fac._enc_ntt[pi].inverse(buf)            # [gF, 1, n] mod t
+        res = jnp.broadcast_to(coeffs, (g * F, k, n))
+        per.append(fac.bfv[0].prepare_plain_mult(res))
+    return jnp.stack(per).reshape(fac.P, g, F, k, n)
+
+
+def bsgs_matvec(form: BsgsDenseForm, data):
+    """Apply the prepared diagonal form to ciphertext data
+    [P, 1, 2, k, N]; returns output ciphertext data [P, 1, 2, k, N]."""
+    fac = form.factory
+    bfv0 = fac.bfv[0]
+    p = bfv0.p
+    q = p.chain_q.q
+    keys = fac.keys
+    g, G, F = form.g, form.G, form.F
+
+    u = data[:, 0]                                        # [P, 2, k, N]
+    if F == 2:
+        OPS.count("rotation", 1)
+        uf = bfv0.rotate_columns(Ciphertext(u), keys).data
+        ub = jnp.stack([u, uf], axis=1)                   # [P, F, 2, k, N]
+    else:
+        ub = u[:, None]
+    babies = [ub]
+    cur = ub
+    for _ in range(1, g):
+        OPS.count("rotation", F)
+        cur = bfv0.rotate_rows(Ciphertext(cur), 1, keys).data
+        babies.append(cur)
+    bab_hat = p.ntt_q.forward(jnp.stack(babies, axis=1))  # [P, g, F, 2, k, N]
+
+    tbl = jnp.asarray(form.table)    # constant -> hoisted to a program arg
+    z = None
+    prev = None
+    for a in reversed(form.active):
+        forms = _encode_diag_chunk(fac, tbl[a])           # [P, g, F, k, N]
+        OPS.count("plain_multiplication", g * F)
+        prod = p.chain_q.mont_mul(bab_hat, forms[:, :, :, None])
+        acc_hat = mod_sum(
+            prod.reshape(prod.shape[0], g * F, *prod.shape[3:]), q, axis=1
+        )                                                 # [P, 2, k, N]
+        acc = p.ntt_q.inverse(acc_hat)
+        if z is None:
+            z = acc
+        else:
+            OPS.count("rotation", 1)
+            z = add_mod(
+                bfv0.rotate_rows(Ciphertext(z), g * (prev - a), keys).data,
+                acc,
+                q,
+            )
+        prev = a
+    if z is None:
+        raise ValueError("BSGS form has no nonzero diagonals")
+    if prev:
+        OPS.count("rotation", 1)
+        z = bfv0.rotate_rows(Ciphertext(z), g * prev, keys).data
+    return z[:, None]                                     # [P, 1, 2, k, N]

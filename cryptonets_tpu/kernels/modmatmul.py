@@ -30,8 +30,11 @@ NP_X = 5  # ceil(31 / DB) planes cover any residue < 2**31
 
 
 @lru_cache(maxsize=None)
-def _pow_tables(q_list: tuple[int, ...]):
-    """2**(DB*s) mod q per limb, with Shoup companions: [S, k, 1] x2."""
+def _pow_tables_np(q_list: tuple[int, ...]):
+    """2**(DB*s) mod q per limb, with Shoup companions: [S, k, 1] x2.
+
+    Cached as NUMPY so a value created under one jit trace never leaks
+    into another (jnp conversion happens per call site)."""
     S = 2 * NP_X - 1
     k = len(q_list)
     w = np.zeros((S, k, 1), np.uint32)
@@ -41,6 +44,11 @@ def _pow_tables(q_list: tuple[int, ...]):
             v = (1 << (DB * s)) % q
             w[s, li, 0] = v
             sh[s, li, 0] = shoup_precompute_host(v, q)
+    return w, sh
+
+
+def _pow_tables(q_list: tuple[int, ...]):
+    w, sh = _pow_tables_np(q_list)
     return jnp.asarray(w), jnp.asarray(sh)
 
 

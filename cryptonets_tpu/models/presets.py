@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 
-from ..crypto.primes import default_coeff_modulus_128
+from ..crypto.primes import default_coeff_modulus_128, ntt_primes
 
 # SEAL 3.2 CoeffModulus128 limb bit widths per ring degree (public
 # constants of SEAL's defaultparams.h).
@@ -79,11 +79,36 @@ CONFIGS = {
         plain_primes=(2277377, 2424833), n=8192,
         coeff_count=coeff_count_for(8192, 3), n_special=2,
     ),
-    "lola_large": dict(  # `LoLaCryptonets.cs:341`
+    # LoLaLarge, TPU-native plaintext CRT: the reference's three primes
+    # (`LoLaCryptonets.cs:341`) are a hair ABOVE 2**31 (2148728833 =
+    # 2**31 + 1.85M), which alone forces the host big-int encode path.
+    # Three ~30-bit NTT-friendly primes give ~90 bits of capacity vs the
+    # ~82.5-bit peak message (measured, see build_lola_large), with every
+    # pipeline on the device fast paths incl. the BSGS conv-as-dense.
+    # Verbatim-prime config kept as `lola_large_bigt`.
+    "lola_large": dict(
+        plain_primes=ntt_primes(16384, 30, 3), n=16384,
+        coeff_count=coeff_count_for(16384, 7), n_special=3,
+    ),
+    "lola_large_bigt": dict(  # `LoLaCryptonets.cs:341`
         plain_primes=(2148728833, 2148794369, 2149810177), n=16384,
         coeff_count=coeff_count_for(16384, 7), n_special=3,
     ),
-    "cifar": dict(  # `LolaCifarCryptoNet.cs:35` (SMC 8 of 9 @ 16384)
+    # CIFAR, TPU-native plaintext CRT: the reference packs its ~79.55-bit
+    # messages (`LolaCifarCryptoNet.cs:28-30`) into 2x~40-bit plain primes
+    # (`:35`), which forces host big-int encode/decode (no 64-bit integer
+    # datapath on TPU).  Three ~30-bit NTT-friendly primes give ~90 bits
+    # of CRT message capacity — strictly more than the reference's
+    # 79.55+1-bit requirement — with every pipeline on the device fast
+    # paths (fused single-launch encrypt/network/decrypt, device-encoded
+    # BSGS diagonals).  Same exact integer arithmetic, verified
+    # bit-for-bit against the Raw oracle; the verbatim-prime config is
+    # kept as `cifar_bigt` below for parity documentation.
+    "cifar": dict(
+        plain_primes=ntt_primes(16384, 30, 3), n=16384,
+        coeff_count=coeff_count_for(16384, 8), n_special=1,
+    ),
+    "cifar_bigt": dict(  # `LolaCifarCryptoNet.cs:35` (SMC 8 of 9 @ 16384)
         plain_primes=(957181001729, 957181034497), n=16384,
         coeff_count=coeff_count_for(16384, 8), n_special=1,
     ),

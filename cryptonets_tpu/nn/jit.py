@@ -181,3 +181,93 @@ class EncryptedForward:
     def block_until_ready(self, out: HEMatrix):
         out.vectors[0].data.block_until_ready()
         return out
+
+
+class StagedForward:
+    """Per-layer jitted execution for stage-timing breakdowns.
+
+    Mirrors the reference's per-layer run log (`README.md:84-94`: Encrypt/
+    Conv/Square/Dense wall times): each layer compiles into its OWN
+    program and is synchronized (`block_until_ready`) before the next, so
+    per-stage wall times are honest.  Slower than `EncryptedForward` (one
+    launch + sync per layer instead of one per record) — use for
+    measurement, not production.
+    """
+
+    def __init__(self, head: Layer):
+        self.encrypt_layer, self.layers = split_at_encrypt(head)
+        self._progs = None
+
+    def _build(self, template: HEMatrix):
+        fac = self.encrypt_layer.factory
+        self._progs = []
+        in_meta = [(v.dim, v.scale, v.fmt, v.is_signed) for v in template.vectors]
+        fmt = template.fmt
+        for layer in self.layers:
+            capture = {}
+
+            def forward(datas, _layer=layer, _in=tuple(in_meta), _fmt=fmt,
+                        _cap=capture):
+                vecs = [
+                    HEVector(fac, data=d, dim=dim, scale=sc, fmt=f, is_signed=sg)
+                    for d, (dim, sc, f, sg) in zip(datas, _in)
+                ]
+                m = _layer.apply(HEMatrix(fac, vecs, _fmt))
+                _cap["meta"] = [
+                    (v.dim, v.scale, v.fmt, v.is_signed) for v in m.vectors
+                ]
+                _cap["fmt"] = m.fmt
+                return [v.data for v in m.vectors]
+
+            jitted = hoist_jit(forward)
+            self._progs.append((layer, jitted, capture))
+            # run one real call to populate capture (compile happens here)
+            out = jitted([v.data for v in template.vectors])
+            vecs = [
+                HEVector(fac, data=d, dim=dim, scale=sc, fmt=f, is_signed=sg)
+                for d, (dim, sc, f, sg) in zip(out, capture["meta"])
+            ]
+            template = HEMatrix(fac, vecs, capture["fmt"])
+            in_meta = capture["meta"]
+            fmt = capture["fmt"]
+        return template
+
+    def __call__(self, timings: dict | None = None):
+        """Pull one record; if `timings` is given, record per-stage wall
+        seconds into it under layer class names (Encrypt/Decrypt included)."""
+        import time as _time
+
+        import jax
+
+        raw = self.reader.get_next()
+        if raw is None:
+            return None
+        t0 = _time.time()
+        enc = self.encrypt_layer.apply(raw)
+        jax.block_until_ready([v.data for v in enc.vectors])
+        if timings is not None:
+            timings["Encrypt"] = timings.get("Encrypt", 0.0) + _time.time() - t0
+        if self._progs is None:
+            self._build(enc)
+        fac = self.encrypt_layer.factory
+        m = enc
+        for i, (layer, jitted, capture) in enumerate(self._progs):
+            t0 = _time.time()
+            out = jitted([v.data for v in m.vectors])
+            jax.block_until_ready(out)
+            name = f"{i}:{type(layer).__name__}"
+            if timings is not None:
+                timings[name] = timings.get(name, 0.0) + _time.time() - t0
+            vecs = [
+                HEVector(fac, data=d, dim=dim, scale=sc, fmt=f, is_signed=sg)
+                for d, (dim, sc, f, sg) in zip(out, capture["meta"])
+            ]
+            m = HEMatrix(fac, vecs, capture["fmt"])
+        return m
+
+    @property
+    def reader(self):
+        p = self.encrypt_layer
+        while p.source is not None:
+            p = p.source
+        return p

@@ -401,6 +401,7 @@ class LLDenseLayer(Layer):
         self.force_dense_format = force_dense_format
         self.weights_matrix = None
         self.bias_vector = None
+        self.bsgs_form = None
 
     def get_output_scale(self):
         return self.weights_scale * self.source.get_output_scale()
@@ -422,6 +423,30 @@ class LLDenseLayer(Layer):
                 "dense" if self.force_dense_format else "sparse",
                 bias_scale,
             )
+            # Large force-dense layers (LoLa-CIFAR / LoLaLarge conv-as-
+            # dense) run as a BSGS diagonal matvec: ~2*sqrt(n/2) key
+            # switches total instead of maps*log2(n/2) (api/bsgs.py).
+            # Per-row dots stay for small heads and factories without
+            # device-side encoding (big plain moduli).
+            if (
+                self.force_dense_format
+                and maps >= 128
+                and maps <= self.factory.n
+                and wmat.shape[1] <= self.factory.n
+                and getattr(self.factory, "_device_encode", False)
+            ):
+                from ..api.bsgs import BsgsDenseForm
+
+                w_int = np.stack(
+                    [
+                        self.factory._scaled_ints(rw, self.weights_scale)
+                        for rw in wmat
+                    ]
+                ).astype(np.int64)
+                self.bsgs_form = BsgsDenseForm(
+                    self.factory, w_int, maps, wmat.shape[1]
+                )
+                return
             self.weights_matrix = self.factory.get_plain_matrix(
                 wmat, "row", self.weights_scale
             )
@@ -435,9 +460,24 @@ class LLDenseLayer(Layer):
 
     def apply(self, m):
         assert m.column_count == 1, "expecting only one column"
-        mul = self.weights_matrix.mul(
-            m.get_column(0), self.force_dense_format
-        )
+        v = m.get_column(0)
+        if self.bsgs_form is not None:
+            from ..api.bsgs import bsgs_matvec
+            from ..api.vector import HEVector
+
+            if v.num_blocks != 1:
+                raise ValueError("BSGS dense needs a single-block input")
+            out = bsgs_matvec(self.bsgs_form, v.data)
+            mul = HEVector(
+                self.factory,
+                data=out,
+                dim=self.bsgs_form.out_dim,
+                scale=v.scale * self.weights_scale,
+                fmt="dense",
+                is_signed=v.is_signed,
+            )
+        else:
+            mul = self.weights_matrix.mul(v, self.force_dense_format)
         res = mul.add(self.bias_vector)
         return self.factory.get_matrix([res], "col")
 

@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--batches", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--stages", action="store_true",
+        help="per-layer timing breakdown (mirrors the reference's "
+        "Encrypt/Conv/Square/Dense run log, README.md:84-94); each layer "
+        "is its own program so totals run slower than the fused path",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -64,6 +70,32 @@ def main():
     head.prepare_network()
     keygen_s = time.time() - t0
     print(f"# factory+keygen+prepare: {keygen_s:.1f}s", file=sys.stderr)
+
+    if args.stages:
+        from cryptonets_tpu.nn.jit import StagedForward
+
+        sfwd = StagedForward(head)
+        for bi in range(args.batches):
+            timings: dict = {}
+            t0 = time.time()
+            m = sfwd(timings)
+            dec = m.decrypt()
+            timings["Decrypt"] = time.time() - t0 - sum(timings.values())
+            total_s = sum(timings.values())
+            tag = "warmup(compile)" if bi == 0 else "steady"
+            print(f"# --- batch {bi+1} ({tag}): {total_s:.2f}s", file=sys.stderr)
+            for k, v in timings.items():
+                print(f"#   {k:<24s} {v:8.2f}s", file=sys.stderr)
+            preds = np.argmax(dec, axis=1)[: len(reader.labels)]
+            ref = raw_preds[bi * args.batch: bi * args.batch + len(preds)]
+            agree = int((preds == ref).sum())
+            print(f"#   pred agreement vs raw: {agree}/{len(preds)}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "CryptoNets-MNIST per-stage breakdown (last batch)",
+            "stages_s": {k: round(v, 3) for k, v in timings.items()},
+            "total_s": round(total_s, 3),
+        }))
+        return
 
     fwd = EncryptedForward(head, jit=True)
     batch_times = []
