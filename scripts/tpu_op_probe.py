@@ -49,10 +49,26 @@ def chain_time(jitted, x, reps_outer: int = 3):
     return best
 
 
+def slope_time(make_chain, x, R: int):
+    """Per-application seconds via the slope between R- and 3R-length
+    chains: cancels the fixed program-launch cost (~40 ms on the
+    remote-compile relay), which at small R dominates and fakes a
+    ~2 ms/op floor."""
+    t1 = chain_time(make_chain(R), x)
+    t3 = chain_time(make_chain(3 * R), x)
+    return max((t3 - t1) / (2 * R), 1e-9)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument(
+        "--batch", type=int, default=1,
+        help="leading ciphertext batch axis (the network regime: conv/"
+        "square/dense stages run tens-to-hundreds of columns per op; "
+        "B=1 measures the latency floor of one small tensor instead)",
+    )
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
@@ -71,15 +87,17 @@ def main():
 
     n = args.n
     R = args.reps
+    B = args.batch
     k = 7
     qs = ntt_primes(n, 31, k)  # LoLa-like chain
     t_plain = ntt_primes(n, 20, 1)[0]
     rng = np.random.default_rng(0)
+    xshape = (B, k, n) if B > 1 else (k, n)
     x = jnp.asarray(
-        rng.integers(0, min(qs), size=(k, n)).astype(np.uint32)
+        rng.integers(0, min(qs), size=xshape).astype(np.uint32)
     )
 
-    results = {"n": n, "k": k, "platform": jax.default_backend(),
+    results = {"n": n, "k": k, "batch": B, "platform": jax.default_backend(),
                "hbm_gbps_peak": HBM_GBPS, "kernels": {}}
 
     def report(name, seconds_per_app, min_bytes, note="", extra=None):
@@ -103,26 +121,28 @@ def main():
 
     # ---- NTT pair (forward+inverse) on [k, n] uint32 ------------------
     # Min traffic per pair: read 4kn + write 4kn (twiddles stay in VMEM).
-    ntt_pair_bytes = 8 * k * n
+    ntt_pair_bytes = 8 * k * n * B
 
     def rep_ntt(ntt):
-        def f(v):
-            for _ in range(R):
-                v = ntt.forward(ntt.inverse(v))
-            return v
-        return jax.jit(f)
+        def make(reps):
+            def f(v):
+                for _ in range(reps):
+                    v = ntt.forward(ntt.inverse(v))
+                return v
+            return jax.jit(f)
+        return make
 
     ntt_b = get_ntt_context(n, qs)
-    tb = chain_time(rep_ntt(ntt_b), x) / R
+    tb = slope_time(rep_ntt(ntt_b), x, R)
     report("butterfly NTT fwd+inv pair", tb, ntt_pair_bytes,
            extra={"ntt_pairs_per_sec_per_chip": round(1.0 / tb, 1)})
 
     ntt_m = MatmulNTTContext(n, qs)
-    tm = chain_time(rep_ntt(ntt_m), x) / R
+    tm = slope_time(rep_ntt(ntt_m), x, R)
     # MXU bound for the 4-step formulation: per limb per transform,
     # two [n1, n1] x [n1, n2] passes in 3x3 digit planes of bf16.
     n1 = 1 << ((n - 1).bit_length() + 1) // 2
-    flops = 2 * k * 2 * (2 * n1 * n * 9)  # pair = fwd+inv, 9 digit planes
+    flops = 2 * k * 2 * (2 * n1 * n * 9) * B  # pair = fwd+inv, 9 digit planes
     mxu_ms = 1000 * flops / (MXU_TFLOPS * 1e12)
     report("matmul (4-step MXU) NTT fwd+inv pair", tm, ntt_pair_bytes,
            extra={"mxu_bound_ms": round(mxu_ms, 4),
@@ -132,7 +152,7 @@ def main():
     from cryptonets_tpu.kernels.pallas_ntt import PallasNTTContext
 
     ntt_p = PallasNTTContext(n, qs)
-    tp = chain_time(rep_ntt(ntt_p), x) / R
+    tp = slope_time(rep_ntt(ntt_p), x, R)
     report("pallas fused NTT fwd+inv pair", tp, ntt_pair_bytes,
            extra={"ntt_pairs_per_sec_per_chip": round(1.0 / tp, 1)})
 
@@ -148,25 +168,31 @@ def main():
         params = BFVParams(n, t_plain, coeff_modulus=qs, **kw)
         bfv = BFV(params)
         keys = bfv.keygen(seed=1)
-        ct = bfv.encrypt(
-            keys,
-            jnp.asarray(params.plain_to_residues(rng.integers(0, 100, n))),
-            jax.random.key(1),
+        pt = (
+            np.stack(
+                [params.plain_to_residues(rng.integers(0, 100, n))
+                 for _ in range(B)]
+            )
+            if B > 1
+            else params.plain_to_residues(rng.integers(0, 100, n))
         )
+        ct = bfv.encrypt(keys, jnp.asarray(pt), jax.random.key(1))
         g = bfv.galois_elt_rows(1)
 
-        def rot(c, bfv=bfv, keys=keys, g=g):
-            for _ in range(R):
-                c = bfv.apply_galois(c, g, keys)
-            return c
+        def rot_chain(reps, bfv=bfv, keys=keys, g=g):
+            def rot(c):
+                for _ in range(reps):
+                    c = bfv.apply_galois(c, g, keys)
+                return c
+            return jax.jit(rot)
 
-        tr = chain_time(jax.jit(rot), ct) / R
+        tr = slope_time(rot_chain, ct, R)
         if mode.startswith("hybrid"):
             key_bytes = 2 * k * k * 4 * n
         else:
             D = params.digits_per_limb
             key_bytes = 2 * (k * D) * k * 4 * n
-        rot_bytes = 16 * k * n + key_bytes
+        rot_bytes = 16 * k * n * B + key_bytes
         report(f"rotation+keyswitch [{mode}]", tr, rot_bytes)
 
         if mode == "hybrid-alpha1":
@@ -176,40 +202,47 @@ def main():
             # of [3, k+2, n] (write+read) = 2*3*(k+2)*4n, relin keys
             # 2*k*k*4n.
             kb = len(params.bsk_list)
-            mul_bytes = (3 * 8 * k * n + 2 * 2 * 3 * kb * 4 * n
+            mul_bytes = (B * (3 * 8 * k * n + 2 * 2 * 3 * kb * 4 * n)
                          + 2 * k * k * 4 * n)
 
-            def mul(c, bfv=bfv, keys=keys, ct=ct):
-                for _ in range(R):
-                    c = bfv.relinearize(bfv.multiply(c, ct), keys)
-                return c
+            def mul_chain(reps, bfv=bfv, keys=keys, ct=ct):
+                def mul(c):
+                    for _ in range(reps):
+                        c = bfv.relinearize(bfv.multiply(c, ct), keys)
+                    return c
+                return jax.jit(mul)
 
-            tmu = chain_time(jax.jit(mul), ct) / R
+            tmu = slope_time(mul_chain, ct, R)
             report("BEHZ ct x ct multiply + relin", tmu, mul_bytes)
 
             # ---- gamma decrypt ----------------------------------------
             # Min traffic: ct read 8kn, output 4n.
-            def dec(c, bfv=bfv, keys=keys):
-                outs = []
-                for _ in range(R):
-                    outs.append(bfv.decrypt_residues_mod_t(keys, c))
-                return jnp.stack(outs)
+            def dec_chain(reps, bfv=bfv, keys=keys):
+                def dec(c):
+                    outs = []
+                    for _ in range(reps):
+                        outs.append(bfv.decrypt_residues_mod_t(keys, c))
+                    return jnp.stack(outs)
+                return jax.jit(dec)
 
-            td = chain_time(jax.jit(dec), ct) / R
-            report("gamma decrypt (scale-and-round)", td, 8 * k * n + 4 * n)
+            td = slope_time(dec_chain, ct, R)
+            report("gamma decrypt (scale-and-round)", td,
+                   B * (8 * k * n + 4 * n))
 
             # ---- automorphism gather alone ----------------------------
             from cryptonets_tpu.crypto.bfv import _automorphism_tables
 
             src, _neg = _automorphism_tables(n, g)
 
-            def gather(v, src=src):
-                for _ in range(R):
-                    v = v[..., src]
-                return v
+            def gather_chain(reps, src=src):
+                def gather(v):
+                    for _ in range(reps):
+                        v = v[..., src]
+                    return v
+                return jax.jit(gather)
 
-            tg = chain_time(jax.jit(gather), ct.data) / R
-            report("automorphism gather alone", tg, 2 * 8 * k * n)
+            tg = slope_time(gather_chain, ct.data, R)
+            report("automorphism gather alone", tg, B * 2 * 8 * k * n)
 
     if args.json:
         with open(args.json, "w") as fh:
