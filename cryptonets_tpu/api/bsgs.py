@@ -130,13 +130,25 @@ def _encode_diag_chunk(fac, tbl_a):
 
 def bsgs_matvec(form: BsgsDenseForm, data):
     """Apply the prepared diagonal form to ciphertext data
-    [P, 1, 2, k, N]; returns output ciphertext data [P, 1, 2, k, N]."""
+    [P, 1, 2, k, N]; returns output ciphertext data [P, 1, 2, k, N].
+
+    Dense diagonal supports (the CIFAR/LoLaLarge conv-as-dense case) run
+    the baby chain and the giant Horner accumulation as `lax.scan`s —
+    the loop body compiles ONCE instead of G times, which keeps the HLO
+    small enough for remote-compile relays (a fully unrolled 128-step
+    giant loop OOM-killed the relay's compile helper).  Sparse supports
+    keep the unrolled Python loop, which skips all-zero giant chunks
+    (fewer rotations, less key-switch noise)."""
+    import jax
+
     fac = form.factory
     bfv0 = fac.bfv[0]
     p = bfv0.p
     q = p.chain_q.q
     keys = fac.keys
     g, G, F = form.g, form.G, form.F
+    if not form.active:
+        raise ValueError("BSGS form has no nonzero diagonals")
 
     u = data[:, 0]                                        # [P, 2, k, N]
     if F == 2:
@@ -145,38 +157,69 @@ def bsgs_matvec(form: BsgsDenseForm, data):
         ub = jnp.stack([u, uf], axis=1)                   # [P, F, 2, k, N]
     else:
         ub = u[:, None]
-    babies = [ub]
-    cur = ub
-    for _ in range(1, g):
-        OPS.count("rotation", F)
-        cur = bfv0.rotate_rows(Ciphertext(cur), 1, keys).data
-        babies.append(cur)
-    bab_hat = p.ntt_q.forward(jnp.stack(babies, axis=1))  # [P, g, F, 2, k, N]
+
+    # ---- baby steps: rot_b(u) for b < g, incremental single-hop +1s
+    OPS.count("rotation", F * (g - 1))
+    if g > 8:
+        def baby_body(cur, _):
+            return bfv0.rotate_rows(Ciphertext(cur), 1, keys).data, cur
+
+        _, bab = jax.lax.scan(baby_body, ub, None, length=g)
+        bab = jnp.moveaxis(bab, 0, 1)                     # [P, g, F, 2, k, N]
+    else:
+        babies = [ub]
+        cur = ub
+        for _ in range(1, g):
+            cur = bfv0.rotate_rows(Ciphertext(cur), 1, keys).data
+            babies.append(cur)
+        bab = jnp.stack(babies, axis=1)
+    bab_hat = p.ntt_q.forward(bab)                        # [P, g, F, 2, k, N]
 
     tbl = jnp.asarray(form.table)    # constant -> hoisted to a program arg
-    z = None
-    prev = None
-    for a in reversed(form.active):
-        forms = _encode_diag_chunk(fac, tbl[a])           # [P, g, F, k, N]
-        OPS.count("plain_multiplication", g * F)
+
+    def chunk_acc(tbl_a):
+        """[g, F, n] diag chunk -> coefficient-domain acc [P, 2, k, N]."""
+        forms = _encode_diag_chunk(fac, tbl_a)            # [P, g, F, k, N]
         prod = p.chain_q.mont_mul(bab_hat, forms[:, :, :, None])
         acc_hat = mod_sum(
             prod.reshape(prod.shape[0], g * F, *prod.shape[3:]), q, axis=1
-        )                                                 # [P, 2, k, N]
-        acc = p.ntt_q.inverse(acc_hat)
-        if z is None:
-            z = acc
-        else:
-            OPS.count("rotation", 1)
+        )
+        return p.ntt_q.inverse(acc_hat)
+
+    OPS.count("plain_multiplication", g * F * len(form.active))
+    if len(form.active) > max(4, G // 4):
+        # dense support: Horner over ALL giant steps as one scanned body,
+        # z <- rot_g(z) + acc_a for a = G-1 .. 0 (z starts at zero, so
+        # the first rotation is a no-op on zeros)
+        OPS.count("rotation", G - 1)
+
+        def giant_body(z, tbl_a):
+            acc = chunk_acc(tbl_a)
             z = add_mod(
-                bfv0.rotate_rows(Ciphertext(z), g * (prev - a), keys).data,
-                acc,
-                q,
+                bfv0.rotate_rows(Ciphertext(z), g, keys).data, acc, q
             )
-        prev = a
-    if z is None:
-        raise ValueError("BSGS form has no nonzero diagonals")
-    if prev:
-        OPS.count("rotation", 1)
-        z = bfv0.rotate_rows(Ciphertext(z), g * prev, keys).data
+            return z, None
+
+        z0 = jnp.zeros_like(u)
+        z, _ = jax.lax.scan(giant_body, z0, tbl[::-1])
+    else:
+        # sparse support: unrolled, skipping all-zero chunks
+        OPS.count("rotation", len(form.active))
+        z = None
+        prev = None
+        for a in reversed(form.active):
+            acc = chunk_acc(tbl[a])
+            if z is None:
+                z = acc
+            else:
+                z = add_mod(
+                    bfv0.rotate_rows(
+                        Ciphertext(z), g * (prev - a), keys
+                    ).data,
+                    acc,
+                    q,
+                )
+            prev = a
+        if prev:
+            z = bfv0.rotate_rows(Ciphertext(z), g * prev, keys).data
     return z[:, None]                                     # [P, 1, 2, k, N]

@@ -58,6 +58,13 @@ def test_bsgs_under_hoist_jit(fac):
     _run(fac, R=64, D=200, seed=3, jit=True)
 
 
+def test_bsgs_dense_support_scan_path(fac):
+    # displacement support covers every giant chunk -> the lax.scan
+    # Horner path (the CIFAR/LoLaLarge regime)
+    form = _run(fac, R=600, D=1800, seed=4, jit=True)
+    assert len(form.active) == form.G
+
+
 def test_lldense_uses_bsgs(fac):
     from cryptonets_tpu.nn.lola import LLDenseLayer
     from cryptonets_tpu.nn.network import Layer
