@@ -409,7 +409,7 @@ class HEVector:
             OPS.count("plain_multiplication", 1)
             return p.bfv[0].mul_plain(Ciphertext(data), mask[:, :, None]).data
 
-        for kidx, v in enumerate(vecs):
+        for v in vecs:
             if v.num_blocks != 1 or v.fmt != DENSE:
                 # the reference's Interleave also assumes single-block
                 # dense inputs (`AtomicSealBfvVector.cs:600-617` indexes
@@ -419,6 +419,80 @@ class HEVector:
                     "interleave inputs must be single-block dense "
                     f"vectors (got blocks={v.num_blocks}, fmt={v.fmt})"
                 )
+
+        # ---- uniform-run fast path: consecutive pieces whose placement
+        # is a pure rotation into the same (block, row-half) differ by a
+        # constant rotation stride, so a maximal run folds into ONE
+        # lax.scan (Horner: z <- rot_right(z, shift) + piece, last piece
+        # first) — one compiled rotation body instead of one unrolled
+        # key-switch graph per piece.  Engaged only when the stride has a
+        # single-hop Galois key (models pass rot_steps=(-stride,) to the
+        # factory) and the run is long enough to matter; placement is
+        # IDENTICAL to the per-piece branches below, which keep handling
+        # boundary-crossing pieces and short runs.
+        scanned: dict = {}
+        if (
+            shift > 0
+            and len(vecs) >= 24
+            and v0.is_encrypted
+            and p.bfv[0].galois_elt_rows((-shift) % row)
+            in p.keys.galois
+        ):
+            classes = []
+            for kidx in range(len(vecs)):
+                ts = shift * kidx
+                in_block = ts % n
+                start_b, end_b = ts // n, (ts + absh) // n
+                if in_block == 0 or in_block + absh < row:
+                    classes.append(("lower", start_b, ts % row))
+                elif in_block >= row and start_b == end_b:
+                    classes.append(("upper", start_b, in_block - row))
+                else:
+                    classes.append(None)
+            runs = []
+            k = 0
+            while k < len(vecs):
+                if classes[k] is None:
+                    k += 1
+                    continue
+                j = k
+                while (
+                    j + 1 < len(vecs)
+                    and classes[j + 1] is not None
+                    and classes[j + 1][:2] == classes[k][:2]
+                ):
+                    j += 1
+                if j - k + 1 >= 8:
+                    runs.append((k, j))
+                k = j + 1
+            import jax as _jax
+
+            for k0, k1 in runs:
+                half, b, base_amt = classes[k0]
+                stacked = jnp.stack(
+                    [vecs[i].data for i in range(k1, k0 - 1, -1)], axis=0
+                )
+                OPS.count("rotation", k1 - k0 + 1)
+
+                def _body(carry, piece):
+                    rot = p.bfv[0].rotate_rows(
+                        Ciphertext(carry), -shift, p.keys
+                    ).data
+                    return add_mod(rot, piece, q), None
+
+                z, _ = _jax.lax.scan(_body, jnp.zeros_like(vecs[k0].data), stacked)
+                if base_amt % row:
+                    OPS.count("rotation", 1)
+                    z = p.bfv[0].rotate_rows(
+                        Ciphertext(z), -base_amt, p.keys
+                    ).data
+                acc(lower if half == "lower" else upper, b, z)
+                for i in range(k0, k1 + 1):
+                    scanned[i] = True
+
+        for kidx, v in enumerate(vecs):
+            if kidx in scanned:
+                continue
             this_shift = shift * kidx
             if this_shift < 0:
                 this_shift = row + this_shift

@@ -497,12 +497,16 @@ class BFV:
 
     def __init__(self, params: BFVParams):
         self.p = params
-        # nested jit: these compound ops appear many times in a network
-        # trace; wrapping them makes each a single (cached) call primitive
-        # in the outer jaxpr instead of thousands of inlined ops.
-        self.multiply = jax.jit(self.multiply)
-        self._switch_key_inner = jax.jit(self._switch_key_inner)
-        self.mul_plain = jax.jit(self.mul_plain)
+        # trace_inline_jit: compiled once per shape for EAGER callers,
+        # but inlined under an enclosing trace — a plain nested jit would
+        # bake the NTT/chain tables into every shape-instance of the
+        # callee as literals, which the constant hoister cannot lift
+        # (utils/hoist.py; the CIFAR program hit 1.3 GB of StableHLO).
+        from ..utils.hoist import trace_inline_jit
+
+        self.multiply = trace_inline_jit(self.multiply)
+        self._switch_key_inner = trace_inline_jit(self._switch_key_inner)
+        self.mul_plain = trace_inline_jit(self.mul_plain)
         self._make_switch_keys_batched = jax.jit(self._make_switch_keys_batched)
         self._make_switch_keys_batched_hybrid = jax.jit(
             self._make_switch_keys_batched_hybrid

@@ -103,10 +103,14 @@ class NTTContext:
             np.array(self.moduli, np.uint32).reshape(L, 1)
         )
 
-        # jit once per input shape: a transform is log2(N) fused stages,
-        # eager per-stage dispatch would recompile every reshape.
-        self.forward = jax.jit(self._forward)
-        self.inverse = jax.jit(self._inverse)
+        # jit for eager callers (per-stage eager dispatch would cost one
+        # relay round trip per op); INLINE under an enclosing trace so
+        # the twiddle tables hoist to shared program arguments instead
+        # of baking into every shape-instance as literals (utils/hoist).
+        from ..utils.hoist import trace_inline_jit
+
+        self.forward = trace_inline_jit(self._forward)
+        self.inverse = trace_inline_jit(self._inverse)
 
     # -- forward: standard order in, bit-reversed out ----------------------
     def _forward(self, x):

@@ -195,8 +195,10 @@ class MatmulNTTContext:
         self.moduli = tuple(int(m) for m in moduli)
         self.t = _tables(n, self.moduli)
         self.q = self.t["q"]
-        self.forward = jax.jit(self._forward)
-        self.inverse = jax.jit(self._inverse)
+        from ..utils.hoist import trace_inline_jit
+
+        self.forward = trace_inline_jit(self._forward)
+        self.inverse = trace_inline_jit(self._inverse)
 
     def _forward(self, x):
         t = self.t

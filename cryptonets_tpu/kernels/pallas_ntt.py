@@ -142,8 +142,10 @@ class PallasNTTContext:
             np.array(self.moduli, np.uint32).reshape(L, 1)
         )
 
-        self.forward = jax.jit(partial(self._transform, False))
-        self.inverse = jax.jit(partial(self._transform, True))
+        from ..utils.hoist import trace_inline_jit
+
+        self.forward = trace_inline_jit(partial(self._transform, False))
+        self.inverse = trace_inline_jit(partial(self._transform, True))
 
     # ------------------------------------------------------------- kernels
     def _roll(self, v, shift):

@@ -35,7 +35,10 @@ def build(
     encrypt: bool = True, records=None, file_name=None, seed: int = 0,
     weights_csv=None, bias_csv=None,
 ):
-    factory = make_factory("cifar", encrypt, seed)
+    # rot_steps: single-hop Galois key for the Vectorize stack stride
+    # (14x14 = 196 windows per conv map) so the 83-piece interleave runs
+    # as one scanned Horner loop (api/vector.py fast path)
+    factory = make_factory("cifar", encrypt, seed, rot_steps=(-196,))
     if weights_csv and bias_csv:
         wr = WeightsReader(weights_csv, bias_csv)
         w0, b0 = np.asarray(wr.weights[0]), np.asarray(wr.biases[0])

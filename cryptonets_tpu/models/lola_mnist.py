@@ -216,7 +216,9 @@ def build_lola_large(
     Square -> conv-as-dense (163 maps) -> Square -> Dense(10).  The
     upstream weight blob is missing; seeded synthetic weights are used
     unless CSVs are supplied."""
-    factory = make_factory("lola_large", encrypt, seed)
+    # single-hop key for the Vectorize stack stride (12x12 = 144 windows
+    # per conv map): the 83-piece interleave folds into one scanned loop
+    factory = make_factory("lola_large", encrypt, seed, rot_steps=(-144,))
     if weights_csv and bias_csv:
         wr = WeightsReader(weights_csv, bias_csv)
         w0 = np.asarray(wr.weights[0]) / 256.0

@@ -437,11 +437,11 @@ class LLDenseLayer(Layer):
             ):
                 from ..api.bsgs import BsgsDenseForm
 
-                w_int = np.stack(
-                    [
-                        self.factory._scaled_ints(rw, self.weights_scale)
-                        for rw in wmat
-                    ]
+                # same integers as _scaled_ints (round-half-even) but
+                # vectorized: the per-element int() path costs minutes
+                # at CIFAR scale (5488 x 16268 weights)
+                w_int = np.round(
+                    wmat * self.weights_scale
                 ).astype(np.int64)
                 self.bsgs_form = BsgsDenseForm(
                     self.factory, w_int, maps, wmat.shape[1]

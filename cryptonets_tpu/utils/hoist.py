@@ -30,6 +30,30 @@ from jax import tree_util
 from .opcount import OPS
 
 
+def trace_inline_jit(fn):
+    """jit `fn` for eager callers, but INLINE it when any argument is
+    already a tracer (i.e. we are inside an enclosing trace).
+
+    A nested `jax.jit` keeps the outer jaxpr small, but its captured
+    constants (NTT twiddle tables, chain tables) are baked into the
+    callee jaxpr as literals — `hoist_jit` cannot lift them, and every
+    distinct call SHAPE duplicates them in the serialized module.  The
+    CIFAR network shipped 1.3 GB of StableHLO this way (~95% dense
+    literals) and OOM-killed the remote-compile helper.  Inlining under
+    a trace lets the same table objects dedupe into one hoisted program
+    argument each; eager callers still get one compiled program."""
+
+    jitted = jax.jit(fn)
+
+    def call(*args, **kwargs):
+        leaves = tree_util.tree_leaves((args, kwargs))
+        if any(isinstance(l, jax_core.Tracer) for l in leaves):
+            return fn(*args, **kwargs)
+        return jitted(*args, **kwargs)
+
+    return call
+
+
 def hoist_jit(fn):
     """jit `fn` with all trace-time constants hoisted to arguments.
 

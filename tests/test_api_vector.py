@@ -299,3 +299,36 @@ def test_permute_multi_block_raises(fac):
     sel = fac.get_plain_vector(np.ones(N + 4), "dense", 1.0)
     with pytest.raises(ValueError, match="single block"):
         enc.permute([sel], [1], N + 4)
+
+
+def test_interleave_scan_fast_path_matches_unrolled():
+    """Stack of >=24 uniform pieces takes the scanned Horner path when a
+    single-hop stride key exists; placement must equal the unrolled
+    per-piece case analysis exactly."""
+    import numpy as np
+    from cryptonets_tpu.api.factory import CrtBfvFactory
+    from cryptonets_tpu.api.vector import HEVector
+
+    n = 4096
+    d = 70            # 30 pieces x 70 = 2100 spans both slot rows
+    m = 30
+    rng = np.random.default_rng(3)
+    vals = rng.integers(-9, 10, size=(m, d)).astype(float)
+
+    fac_scan = CrtBfvFactory(
+        plain_primes=(40961, 65537), n=n, seed=5, rot_steps=(-d,)
+    )
+    fac_plain = CrtBfvFactory(plain_primes=(40961, 65537), n=n, seed=5)
+    g = fac_scan.bfv[0].galois_elt_rows((-d) % (n // 2))
+    assert g in fac_scan.keys.galois and g not in fac_plain.keys.galois
+
+    outs = []
+    for fac in (fac_scan, fac_plain):
+        vecs = [
+            fac.get_encrypted_vector(v, "dense", scale=1.0) for v in vals
+        ]
+        st = HEVector.stack(vecs)
+        st.dim = d * m
+        outs.append(np.asarray(st.decrypt_full_precision(), dtype=np.int64))
+    np.testing.assert_array_equal(outs[0][: d * m], vals.reshape(-1))
+    np.testing.assert_array_equal(outs[0], outs[1])
