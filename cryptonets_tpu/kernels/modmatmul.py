@@ -84,7 +84,13 @@ def exact_mod_contract(w_int, x, q_list, q_col):
         ((x >> jnp.uint32(DB * d)) & mask).astype(jnp.int8)
         for d in range(NP_X)
     ]
-    sums = [None] * (2 * NP_X - 1)
+    pw, pw_sh = _pow_tables(tuple(int(q) for q in q_list))
+    # fold each digit-pair product into the modular accumulator right
+    # away (addition mod q is associative/commutative, so this equals
+    # the old bucket-by-shift order): peak live memory is 2 output-sized
+    # tensors instead of 2*NP_X-1 shift buckets — at CIFAR scale the
+    # buckets alone were ~11 GB of HBM.
+    acc = None
     for di in range(NP_X):
         for dj in range(NP_X):
             m = jnp.einsum(
@@ -94,10 +100,6 @@ def exact_mod_contract(w_int, x, q_list, q_col):
                 preferred_element_type=jnp.int32,
             )
             s = di + dj
-            sums[s] = m if sums[s] is None else sums[s] + m
-    pw, pw_sh = _pow_tables(tuple(int(q) for q in q_list))
-    acc = None
-    for s, u in enumerate(sums):
-        term = mul_const_mod(u.astype(jnp.uint32), pw[s], pw_sh[s], q_col)
-        acc = term if acc is None else add_mod(acc, term, q_col)
+            term = mul_const_mod(m.astype(jnp.uint32), pw[s], pw_sh[s], q_col)
+            acc = term if acc is None else add_mod(acc, term, q_col)
     return acc

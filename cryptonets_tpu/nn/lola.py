@@ -107,6 +107,41 @@ class LLPoolLayer(Layer):
                 agg = col if agg is None else agg.add(col)
             agg.register_scale(agg.scale * m.column_count)
             return self.factory.get_matrix([agg], "col")
+        if m.is_encrypted and len(self.bias_vectors) > 1:
+            # all maps in ONE digit-plane MXU contraction: out[map] =
+            # sum_o W[map, o] * col_o.  The per-map m.mul path stacks the
+            # full patch tensor and materializes a per-map product each
+            # time — at CIFAR scale (83 maps x 192 offset columns x
+            # n=16384) that alone exceeds HBM; the contraction never
+            # materializes a (map, offset) intermediate.
+            from ..api.vector import HEVector
+            from ..kernels.modmatmul import exact_mod_contract
+            from ..utils.opcount import OPS
+
+            f = self.factory
+            wint = np.stack(
+                [
+                    np.asarray(
+                        [int(x) for x in wv.values], dtype=np.int64
+                    )
+                    for wv in self.weight_windows
+                ]
+            )
+            X = m._stacked_data()               # [P, V, C, s, k, N]
+            OPS.count("plain_multiplication", int(wint.size))
+            out = exact_mod_contract(
+                wint, X, f.coeff_modulus, f.bfv[0].p.chain_q.q
+            )                                    # [P, maps, C, s, k, N]
+            col0 = m.get_column(0)
+            out_scale = col0.scale * self.weights_scale
+            cols = [
+                HEVector(
+                    f, data=out[:, k], dim=col0.dim, scale=out_scale,
+                    fmt="dense", is_signed=col0.is_signed,
+                ).add(self.bias_vectors[k])
+                for k in range(self.engine.maps)
+            ]
+            return self.factory.get_matrix(cols, "col")
         cols = [
             m.mul(self.weight_windows[k]).add(self.bias_vectors[k])
             for k in range(len(self.bias_vectors))
