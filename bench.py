@@ -1,18 +1,32 @@
-"""Headline benchmark: LoLa-MNIST encrypted single-image latency.
+"""Headline benchmark: encrypted-inference latency vs the reference.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: 2.2 s published single-image latency (BASELINE.md north star);
-vs_baseline > 1 means faster than the reference.
+Prints a JSON metric line {"metric", "value", "unit", "vs_baseline"}.
+A first JSON line is emitted IMMEDIATELY after the first timed record
+(so a driver timeout can never erase a finished measurement); if more
+records follow, the LAST line printed is the refined median — both are
+honest measurements of the same pipeline.
+
+Robustness (round-3 postmortem: the driver's 20-min timeout fired during
+a cold-cache keygen compile and the bench produced nothing):
+  * factory keygen runs on the host CPU backend (api/factory.py
+    _generate_keys) — no remote-relay compile on the critical path;
+  * every phase logs a timestamped stderr line;
+  * a BENCH_DEADLINE_S watchdog (default 1050 s) stops timing records
+    early and emits whatever was measured;
+  * SIGTERM/SIGALRM emit the best-so-far metric before dying.
 
 Env knobs:
   BENCH_NETWORK = LoLa | LoLaSmall | LoLaDense | LoLaLarge | Cifar |
-                   Caltech  (default LoLa: the published 2.2 s pipeline;
-                   Cifar benches vs its published 740 s; Caltech vs the
-                   156-234 ms README run log; LoLaSmall vs the LoLa
-                   paper's 0.29 s small-network figure; LoLaDense /
-                   LoLaLarge have NO published latency — vs_baseline is
-                   null and the numbers are recorded for PARITY.md)
-  BENCH_RECORDS = number of timed records (default 3)
+                   Caltech | CryptoNets
+                   (default LoLa: the published 2.2 s single-image
+                   pipeline; CryptoNets = the 8192-image SIMD batch vs
+                   the published 27.9 s; Cifar vs its published 740 s;
+                   Caltech vs the 156-234 ms README run log; LoLaSmall
+                   vs the LoLa paper's 0.29 s small-network figure;
+                   LoLaDense / LoLaLarge have NO published latency —
+                   vs_baseline is null, recorded for PARITY.md)
+  BENCH_RECORDS = number of timed records/batches (default 3)
+  BENCH_DEADLINE_S = wall-clock budget before self-preserving emission
   BENCH_PLATFORM = cpu to force CPU
   BENCH_FUSE = 0 to disable the fused single-launch pipeline
   BENCH_BUDGET = 1 to also report the end-of-network noise budget
@@ -22,15 +36,76 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_S = 2.2
+T_START = time.time()
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1050"))
+
+# mutable bench state shared with the signal handlers
+STATE: dict = {"lats": [], "out_base": None, "phase": "init", "emitted": 0}
+
+
+def log(msg: str) -> None:
+    print(f"# [{time.time() - T_START:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def emit(final: bool) -> None:
+    """Print the JSON metric line from the current state (stdout)."""
+    import numpy as np
+
+    base = STATE["out_base"]
+    lats = STATE["lats"]
+    if base is None or not lats:
+        return
+    lat = float(np.median(lats))
+    out = dict(base)
+    out["value"] = round(lat, 4)
+    if out.get("_baseline"):
+        out["vs_baseline"] = round(out["_baseline"] / lat, 3)
+    else:
+        out["vs_baseline"] = None
+    out.pop("_baseline", None)
+    if out.get("_per_image_div"):
+        out["ms_per_image"] = round(1000.0 * lat / out["_per_image_div"], 4)
+    out.pop("_per_image_div", None)
+    out["records"] = len(lats)
+    print(json.dumps(out), flush=True)
+    STATE["emitted"] += 1
+
+
+def _die_gracefully(signum, frame):
+    if STATE["emitted"] == 0 and STATE["lats"]:
+        emit(final=False)
+    if not STATE["lats"]:
+        # nothing measured: document how far we got (value null is a
+        # failure marker, not a metric)
+        print(json.dumps({
+            "metric": STATE.get("metric", "unknown"),
+            "value": None,
+            "unit": "s",
+            "vs_baseline": None,
+            "error": f"killed in phase '{STATE['phase']}' "
+                     f"at {time.time() - T_START:.0f}s",
+        }), flush=True)
+    log(f"terminated by signal {signum} in phase {STATE['phase']}")
+    os._exit(0 if STATE["lats"] else 1)
+
+
+def remaining() -> float:
+    return DEADLINE_S - (time.time() - T_START)
 
 
 def main():
+    signal.signal(signal.SIGTERM, _die_gracefully)
+    signal.signal(signal.SIGALRM, _die_gracefully)
+    signal.alarm(max(5, int(DEADLINE_S + 20)))  # last-resort self-kill
+
     if os.environ.get("BENCH_PLATFORM") == "cpu":
         os.environ.setdefault(
             "XLA_FLAGS", "--xla_force_host_platform_device_count=1"
@@ -40,13 +115,17 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
+    network = os.environ.get("BENCH_NETWORK", "LoLa")
+    n_records = int(os.environ.get("BENCH_RECORDS", "3"))
+    fuse = os.environ.get("BENCH_FUSE", "1") != "0"
+    if network == "CryptoNets":
+        run_cryptonets_batch(n_records)
+        return
+
     from cryptonets_tpu.data.preprocess import synthetic_mnist_records
     from cryptonets_tpu.models import lola_mnist
     from cryptonets_tpu.nn.jit import EncryptedForward
 
-    network = os.environ.get("BENCH_NETWORK", "LoLa")
-    n_records = int(os.environ.get("BENCH_RECORDS", "3"))
-    fuse = os.environ.get("BENCH_FUSE", "1") != "0"
     if network == "Cifar":
         from cryptonets_tpu.data.preprocess import synthetic_cifar_records
         from cryptonets_tpu.models import lola_cifar
@@ -77,9 +156,16 @@ def main():
         }.get(network)
         metric = f"{network}-MNIST encrypted single-image latency"
 
+    STATE["metric"] = metric
+    STATE["out_base"] = {
+        "metric": metric, "value": None, "unit": "s",
+        "_baseline": baseline_s,
+    }
+
     # raw oracle on record 0: the timed encrypted pipeline must reproduce
     # these logits exactly (fixed-point arithmetic is deterministic) —
     # a latency number over a noise-corrupted output is worthless.
+    STATE["phase"] = "raw-oracle"
     head_r, _, _ = builder(False, records=[(l, f.copy()) for l, f in records])
     head_r.prepare_network()
     mr = head_r.get_next()
@@ -87,51 +173,133 @@ def main():
         (mr.get_column(0) if hasattr(mr, "get_column") else mr).decrypt(),
         dtype=float,
     )
+    log("raw oracle done")
 
+    STATE["phase"] = "factory+keygen+prepare"
     t0 = time.time()
     head, factory, reader = builder(True, records=records)
     head.prepare_network()
     keygen_s = time.time() - t0
-    print(f"# factory+keygen+prepare: {keygen_s:.1f}s", file=sys.stderr)
+    log(f"factory+keygen+prepare: {keygen_s:.1f}s")
+    STATE["out_base"]["keygen_s"] = round(keygen_s, 1)
 
     fwd = EncryptedForward(head, jit=True, fuse_io=fuse)
-    print(f"# fused single-launch pipeline: {fwd.fuse_io}", file=sys.stderr)
+    log(f"fused single-launch pipeline: {fwd.fuse_io}")
     # warm-up record: trace + compile; also the correctness gate
+    STATE["phase"] = "warmup-compile"
     t0 = time.time()
     m = fwd()
     dec0 = np.asarray(m.get_column(0).decrypt(), dtype=float)
-    print(f"# warmup (compile) record: {time.time()-t0:.1f}s", file=sys.stderr)
+    log(f"warmup (compile) record: {time.time() - t0:.1f}s")
     nshared = min(len(dec0), len(raw0))
     if not np.allclose(dec0[:nshared], raw0[:nshared], rtol=1e-9):
-        print(f"# MISMATCH enc={dec0[:10]} raw={raw0[:10]}", file=sys.stderr)
+        log(f"MISMATCH enc={dec0[:10]} raw={raw0[:10]}")
         raise SystemExit("encrypted output disagrees with raw oracle")
-    print("# encrypted output matches raw oracle exactly", file=sys.stderr)
+    log("encrypted output matches raw oracle exactly")
 
-    budget = None
     if os.environ.get("BENCH_BUDGET") == "1":
         from cryptonets_tpu.api.tracker import CryptoTracker
 
         budget = CryptoTracker.test_vector_budget(m.get_column(0), warn=False)
-        print(f"# end-of-network noise budget: {budget} bits", file=sys.stderr)
+        log(f"end-of-network noise budget: {budget} bits")
+        STATE["out_base"]["final_budget_bits"] = budget
 
-    lats = []
-    for _ in range(n_records):
+    STATE["phase"] = "timing"
+    for i in range(n_records):
         t0 = time.time()
         m = fwd()
-        dec = m.get_column(0).decrypt()
-        lats.append(time.time() - t0)
-        print(f"# record latency {lats[-1]:.3f}s", file=sys.stderr)
-    lat = float(np.median(lats))
-    out = {
-        "metric": metric,
-        "value": round(lat, 4),
-        "unit": "s",
-        "vs_baseline": round(baseline_s / lat, 3) if baseline_s else None,
-        "keygen_s": round(keygen_s, 1),
+        m.get_column(0).decrypt()
+        STATE["lats"].append(time.time() - t0)
+        log(f"record latency {STATE['lats'][-1]:.3f}s")
+        if STATE["emitted"] == 0:
+            emit(final=False)  # a finished measurement can't be erased
+        if remaining() < 1.5 * max(STATE["lats"]) and i + 1 < n_records:
+            log(f"deadline approaching ({remaining():.0f}s left): "
+                f"stopping after {i + 1}/{n_records} records")
+            break
+    if len(STATE["lats"]) > 1 or STATE["emitted"] == 0:
+        emit(final=True)
+
+
+def run_cryptonets_batch(n_batches: int):
+    """The reference's headline workload: 8192-image SIMD batch
+    (`CryptoNets/CryptoNets.cs:20-107`, 27.9 s published).  Timed per
+    steady-state batch; gate = exact logit equality on the warmup batch
+    plus full prediction agreement on every batch."""
+    import numpy as np
+
+    from cryptonets_tpu.data.preprocess import synthetic_mnist_records
+    from cryptonets_tpu.models import cryptonets_mnist
+    from cryptonets_tpu.nn.jit import EncryptedForward
+
+    batch = int(os.environ.get("BENCH_BATCH", "8192"))
+    n_batches = min(n_batches, 2)  # 2 steady batches bound raw-oracle cost
+    total = batch * (n_batches + 1)
+    metric = "CryptoNets-MNIST encrypted 8192-image batch"
+    STATE["metric"] = metric
+    STATE["out_base"] = {
+        "metric": metric, "value": None, "unit": "s",
+        "_baseline": 27.9,  # README.md:84-94 run log
+        "_per_image_div": batch,
     }
-    if budget is not None:
-        out["final_budget_bits"] = budget
-    print(json.dumps(out))
+
+    records = synthetic_mnist_records(total, seed=11)
+    STATE["phase"] = "raw-oracle"
+    head_r, _, _ = cryptonets_mnist.build(
+        False, batch, records=[(l, f.copy()) for l, f in records]
+    )
+    head_r.prepare_network()
+    raw_logits = []
+    while True:
+        mr = head_r.get_next()
+        if mr is None:
+            break
+        raw_logits.append(np.asarray(mr.decrypt(), dtype=float))
+    raw_preds = np.concatenate([np.argmax(r, axis=1) for r in raw_logits])
+    log(f"raw oracle done: {len(raw_preds)} records")
+
+    STATE["phase"] = "factory+keygen+prepare"
+    t0 = time.time()
+    head, factory, reader = cryptonets_mnist.build(True, batch, records=records)
+    head.prepare_network()
+    keygen_s = time.time() - t0
+    log(f"factory+keygen+prepare: {keygen_s:.1f}s")
+    STATE["out_base"]["keygen_s"] = round(keygen_s, 1)
+
+    fwd = EncryptedForward(head, jit=True)
+    STATE["phase"] = "warmup-compile"
+    t0 = time.time()
+    m = fwd()
+    dec = np.asarray(m.decrypt(), dtype=float)
+    log(f"warmup (compile) batch: {time.time() - t0:.1f}s")
+    r0 = raw_logits[0]
+    if not np.allclose(dec[: r0.shape[0]], r0, rtol=1e-9):
+        raise SystemExit("encrypted batch logits disagree with raw oracle")
+    log("warmup batch logits match raw oracle exactly")
+    agree_n = r0.shape[0]
+
+    STATE["phase"] = "timing"
+    for bi in range(n_batches):
+        t0 = time.time()
+        m = fwd()
+        if m is None:
+            break
+        dec = np.asarray(m.decrypt(), dtype=float)
+        STATE["lats"].append(time.time() - t0)
+        preds = np.argmax(dec, axis=1)[: len(reader.labels)]
+        ref = raw_preds[agree_n: agree_n + len(preds)]
+        agree_n += len(preds)
+        assert (preds == ref).all(), "encrypted predictions diverge from raw"
+        log(f"batch latency {STATE['lats'][-1]:.2f}s "
+            f"({1000.0 * STATE['lats'][-1] / batch:.3f} ms/img), "
+            f"preds match {len(preds)}/{len(preds)}")
+        if STATE["emitted"] == 0:
+            emit(final=False)
+        if remaining() < 1.5 * max(STATE["lats"]) and bi + 1 < n_batches:
+            log("deadline approaching: stopping early")
+            break
+    if len(STATE["lats"]) > 1 or STATE["emitted"] == 0:
+        emit(final=True)
 
 
 if __name__ == "__main__":

@@ -71,7 +71,15 @@ class BsgsDenseForm:
         assert R <= n and D <= n, (R, D, n)
         assert w_int.shape == (R, D), (w_int.shape, R, D)
         w_int = np.asarray(w_int, dtype=np.int64)
-        assert np.abs(w_int).max(initial=0) < (1 << 31), "weights overflow int32"
+        # _encode_diag_chunk does a single conditional +t for negatives
+        # (no general mod-t reduction), so every |weight| must fit below
+        # the SMALLEST plain prime — not merely below 2**31.
+        t_min = min(factory.plain_primes)
+        assert np.abs(w_int).max(initial=0) < t_min, (
+            "BSGS weight magnitude >= smallest plain prime "
+            f"({np.abs(w_int).max(initial=0)} >= {t_min}); residues would "
+            "be silently wrong"
+        )
         if not getattr(factory, "_device_encode", False):
             raise ValueError(
                 "BSGS dense matvec needs device-side encoding "
@@ -159,7 +167,10 @@ def bsgs_matvec(form: BsgsDenseForm, data):
         ub = u[:, None]
 
     # ---- baby steps: rot_b(u) for b < g, incremental single-hop +1s
-    OPS.count("rotation", F * (g - 1))
+    # (op counts reflect EXECUTED key switches per path: the scanned baby
+    # chain performs g switches — the last one is discarded — while the
+    # unrolled chain performs g-1)
+    OPS.count("rotation", F * (g if g > 8 else g - 1))
     if g > 8:
         def baby_body(cur, _):
             return bfv0.rotate_rows(Ciphertext(cur), 1, keys).data, cur
@@ -186,12 +197,14 @@ def bsgs_matvec(form: BsgsDenseForm, data):
         )
         return p.ntt_q.inverse(acc_hat)
 
-    OPS.count("plain_multiplication", g * F * len(form.active))
     if len(form.active) > max(4, G // 4):
         # dense support: Horner over ALL giant steps as one scanned body,
-        # z <- rot_g(z) + acc_a for a = G-1 .. 0 (z starts at zero, so
-        # the first rotation is a no-op on zeros)
-        OPS.count("rotation", G - 1)
+        # z <- rot_g(z) + acc_a for a = G-1 .. 0.  The scan encodes and
+        # multiplies ALL G chunks (zero chunks included) and performs G
+        # key switches (the first on a zero ciphertext), so the telemetry
+        # counts the executed graph, not the sparse-equivalent work.
+        OPS.count("plain_multiplication", g * F * G)
+        OPS.count("rotation", G)
 
         def giant_body(z, tbl_a):
             acc = chunk_acc(tbl_a)
@@ -204,6 +217,7 @@ def bsgs_matvec(form: BsgsDenseForm, data):
         z, _ = jax.lax.scan(giant_body, z0, tbl[::-1])
     else:
         # sparse support: unrolled, skipping all-zero chunks
+        OPS.count("plain_multiplication", g * F * len(form.active))
         OPS.count("rotation", len(form.active))
         z = None
         prev = None

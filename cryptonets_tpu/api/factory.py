@@ -76,7 +76,7 @@ class CrtBfvFactory:
         self.keys = (
             None
             if _skip_keygen
-            else self.bfv[0].keygen(seed=seed, rot_steps=rot_steps)
+            else self._generate_keys(seed=seed, rot_steps=rot_steps)
         )
         self.encoders = [BatchEncoder(n, t) for t in self.plain_primes]
         self.plain_crt = CRT(list(self.plain_primes))
@@ -192,6 +192,54 @@ class CrtBfvFactory:
                 for pi in range(self.P)
             ]
         )
+
+    # ------------------------------------------------------------ keygen
+    def _generate_keys(self, seed: int, rot_steps):
+        """Generate the shared key set, preferring a host-CPU keygen.
+
+        On relay-attached TPUs the keygen program pays a slow REMOTE
+        compile whenever the relay's compile cache is cold (~100 s
+        observed with a warm local cache; ~20 min fully cold — the
+        round-3 driver bench died inside exactly this phase).  Key
+        tensors are NTT-domain VALUES, identical between the 'butterfly'
+        and 'pallas' NTT implementations (same Longa-Naehrig ordering),
+        so when a local CPU backend exists we generate them there —
+        local compile, seconds — and ship the ~240 MB key set to the
+        device once (~0.4 s on this rig).  `CRYPTONETS_KEYGEN=device`
+        forces the on-device path (required for the 'matmul' NTT, whose
+        evaluation ordering differs).
+        """
+        import os
+
+        mode = os.environ.get("CRYPTONETS_KEYGEN", "auto")
+        if (
+            mode != "device"
+            and jax.default_backend() != "cpu"
+            and self.ntt_impl in ("butterfly", "pallas")
+        ):
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                p0 = self.params[0]
+                with jax.default_device(cpu):
+                    kg_params = BFVParams(
+                        self.n,
+                        self.plain_primes[0],
+                        coeff_modulus=self.coeff_modulus,
+                        dbc=p0.dbc,
+                        seed=seed,
+                        n_special=p0.n_special,
+                        ks_alpha=p0.ks_alpha,
+                        ntt_impl="butterfly",
+                    )
+                    keys = BFV(kg_params).keygen(
+                        seed=seed, rot_steps=rot_steps
+                    )
+                    keys = jax.block_until_ready(keys)
+                return jax.device_put(keys, jax.devices()[0])
+        return self.bfv[0].keygen(seed=seed, rot_steps=rot_steps)
 
     # -------------------------------------------------------------- helpers
     @property

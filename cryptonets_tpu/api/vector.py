@@ -472,7 +472,13 @@ class HEVector:
                 stacked = jnp.stack(
                     [vecs[i].data for i in range(k1, k0 - 1, -1)], axis=0
                 )
-                OPS.count("rotation", k1 - k0 + 1)
+                # executed key switches: the Horner scan rotates every
+                # carry by `shift` regardless of placement, so this is
+                # the EXECUTED count, which can exceed the unrolled-
+                # equivalent count (rot_right skips amounts that are
+                # 0 mod row).  Seeding the carry with the last piece
+                # (instead of zeros) drops the wasted switch-of-zero.
+                OPS.count("rotation", k1 - k0)
 
                 def _body(carry, piece):
                     rot = p.bfv[0].rotate_rows(
@@ -480,7 +486,7 @@ class HEVector:
                     ).data
                     return add_mod(rot, piece, q), None
 
-                z, _ = _jax.lax.scan(_body, jnp.zeros_like(vecs[k0].data), stacked)
+                z, _ = _jax.lax.scan(_body, stacked[0], stacked[1:])
                 if base_amt % row:
                     OPS.count("rotation", 1)
                     z = p.bfv[0].rotate_rows(

@@ -197,12 +197,18 @@ class StagedForward:
     def __init__(self, head: Layer):
         self.encrypt_layer, self.layers = split_at_encrypt(head)
         self._progs = None
+        self._built_meta = None
 
     def _build(self, template: HEMatrix):
         fac = self.encrypt_layer.factory
         self._progs = []
         in_meta = [(v.dim, v.scale, v.fmt, v.is_signed) for v in template.vectors]
         fmt = template.fmt
+        # remember the template meta so later records that differ in
+        # (dim, scale, fmt) trigger a rebuild instead of silently reusing
+        # stale captured metadata (EncryptedForward.run_encrypted does
+        # the same check)
+        self._built_meta = (list(in_meta), fmt)
         for layer in self.layers:
             capture = {}
 
@@ -247,7 +253,11 @@ class StagedForward:
         jax.block_until_ready([v.data for v in enc.vectors])
         if timings is not None:
             timings["Encrypt"] = timings.get("Encrypt", 0.0) + _time.time() - t0
-        if self._progs is None:
+        enc_meta = (
+            [(v.dim, v.scale, v.fmt, v.is_signed) for v in enc.vectors],
+            enc.fmt,
+        )
+        if self._progs is None or self._built_meta != enc_meta:
             self._build(enc)
         fac = self.encrypt_layer.factory
         m = enc
