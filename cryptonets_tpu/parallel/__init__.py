@@ -12,3 +12,4 @@ from .distributed import (
     local_record_slice,
     global_ciphertext_batch,
 )
+from .pipeline import PipelineForward

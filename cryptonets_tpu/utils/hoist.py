@@ -54,12 +54,18 @@ def trace_inline_jit(fn):
     return call
 
 
-def hoist_jit(fn):
+def hoist_jit(fn, device=None):
     """jit `fn` with all trace-time constants hoisted to arguments.
 
     The wrapper retraces when the input pytree structure or leaf
     shapes/dtypes change (same policy as jax.jit).  Returns a callable
     with `.lower(*args)` for inspection.
+
+    `device`: pin the program to one device — constants are placed
+    there once and call-time arguments are transferred there, so the
+    computation executes on that device (the layer-pipeline mode of
+    `parallel/pipeline.py` places each stage's program on its own
+    device this way).
 
     Op counting: `OPS.count` calls fire at trace time only; the counts
     the trace accumulates are snapshotted and REPLAYED on every cached
@@ -92,7 +98,10 @@ def hoist_jit(fn):
             if after[k] != before.get(k, 0)
         }
         # keep consts device-resident so each call costs zero transfers
-        consts = tuple(jnp.asarray(c) for c in closed.consts)
+        if device is not None:
+            consts = tuple(jax.device_put(c, device) for c in closed.consts)
+        else:
+            consts = tuple(jnp.asarray(c) for c in closed.consts)
         jaxpr = closed.jaxpr
         n_consts = len(consts)
 
@@ -112,6 +121,8 @@ def hoist_jit(fn):
             # replay the ops this program performs (counted at trace time)
             for k, v in state["ops_delta"].items():
                 OPS.count(k, v)
+        if device is not None:
+            flat = [jax.device_put(a, device) for a in flat]
         out_flat = state["run"](state["consts"] + tuple(flat))
         return tree_util.tree_unflatten(state["out_tree"], out_flat)
 
