@@ -106,6 +106,14 @@ def main():
     signal.signal(signal.SIGALRM, _die_gracefully)
     signal.alarm(max(5, int(DEADLINE_S + 20)))  # last-resort self-kill
 
+    # on-disk key cache (repo-local, like .jax_cache): repeat bench runs
+    # of the same geometry skip keygen entirely (~1 s load + transfer)
+    os.environ.setdefault(
+        "CRYPTONETS_KEY_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".key_cache"),
+    )
+
     if os.environ.get("BENCH_PLATFORM") == "cpu":
         os.environ.setdefault(
             "XLA_FLAGS", "--xla_force_host_platform_device_count=1"

@@ -212,10 +212,17 @@ class CrtBfvFactory:
         import os
 
         mode = os.environ.get("CRYPTONETS_KEYGEN", "auto")
+        cacheable = self.ntt_impl in ("butterfly", "pallas")
+        cache_file = None
+        if cacheable and os.environ.get("CRYPTONETS_KEY_CACHE"):
+            cache_file = self._key_cache_path(seed, rot_steps)
+            cached = self._load_cached_keys(cache_file)
+            if cached is not None:
+                return cached
         if (
             mode != "device"
             and jax.default_backend() != "cpu"
-            and self.ntt_impl in ("butterfly", "pallas")
+            and cacheable
         ):
             try:
                 cpu = jax.local_devices(backend="cpu")[0]
@@ -238,8 +245,83 @@ class CrtBfvFactory:
                         seed=seed, rot_steps=rot_steps
                     )
                     keys = jax.block_until_ready(keys)
+                if cache_file:
+                    self._save_cached_keys(cache_file, keys)
                 return jax.device_put(keys, jax.devices()[0])
-        return self.bfv[0].keygen(seed=seed, rot_steps=rot_steps)
+        keys = self.bfv[0].keygen(seed=seed, rot_steps=rot_steps)
+        if cache_file:
+            self._save_cached_keys(cache_file, jax.block_until_ready(keys))
+        return keys
+
+    def _key_cache_path(self, seed: int, rot_steps) -> str:
+        """Cache file for this key geometry.  OPT-IN via the
+        CRYPTONETS_KEY_CACHE env var (a directory): the file holds the
+        SECRET key material, so this is for benchmarking / single-tenant
+        server use where the cache dir is in the operator's own trust
+        domain (bench.py enables it; the library default is off)."""
+        import hashlib
+        import os
+
+        p0 = self.params[0]
+        desc = repr((
+            "keyset-v1", self.n, self.coeff_modulus, p0.dbc,
+            p0.n_special, p0.ks_alpha, int(seed),
+            tuple(sorted(int(s) for s in rot_steps)),
+        ))
+        h = hashlib.sha256(desc.encode()).hexdigest()[:24]
+        d = os.environ["CRYPTONETS_KEY_CACHE"]
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"keys-{h}.npz")
+
+    def _load_cached_keys(self, path: str):
+        import os
+
+        from ..crypto.bfv import KeySet, SwitchKeys
+
+        if not os.path.exists(path):
+            return None
+        z = np.load(path)
+        galois = {}
+        for name in z.files:
+            if name.startswith("g_") and name.endswith("_k0"):
+                g = int(name[2:-3])
+                galois[g] = SwitchKeys(
+                    k0=jnp.asarray(z[name]),
+                    k1=jnp.asarray(z[f"g_{g}_k1"]),
+                )
+        keys = KeySet(
+            s_hat_mont=jnp.asarray(z["s_hat_mont"]),
+            s2_hat_mont=jnp.asarray(z["s2_hat_mont"]),
+            p0_hat_mont=jnp.asarray(z["p0_hat_mont"]),
+            p1_hat_mont=jnp.asarray(z["p1_hat_mont"]),
+            relin=SwitchKeys(
+                k0=jnp.asarray(z["relin_k0"]), k1=jnp.asarray(z["relin_k1"])
+            ),
+            galois=galois,
+            s_small=jnp.asarray(z["s_small"]),
+        )
+        return jax.device_put(keys, jax.devices()[0])
+
+    @staticmethod
+    def _save_cached_keys(path: str, keys) -> None:
+        arrays = {
+            "s_hat_mont": np.asarray(keys.s_hat_mont),
+            "s2_hat_mont": np.asarray(keys.s2_hat_mont),
+            "p0_hat_mont": np.asarray(keys.p0_hat_mont),
+            "p1_hat_mont": np.asarray(keys.p1_hat_mont),
+            "relin_k0": np.asarray(keys.relin.k0),
+            "relin_k1": np.asarray(keys.relin.k1),
+            "s_small": np.asarray(keys.s_small),
+        }
+        for g, sk in keys.galois.items():
+            arrays[f"g_{g}_k0"] = np.asarray(sk.k0)
+            arrays[f"g_{g}_k1"] = np.asarray(sk.k1)
+        import os
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **arrays)
+        os.replace(tmp, path)
 
     # -------------------------------------------------------------- helpers
     @property

@@ -50,6 +50,26 @@ def _col(vals, dtype=np.uint32):
     return jnp.asarray(np.array(vals, dtype).reshape(-1, 1))
 
 
+_MOD_CHAIN_CACHE: dict = {}
+
+
+def get_mod_chain(moduli) -> "ModChain":
+    """Interned ModChains: a factory builds one BFVParams per plain
+    prime, but the q/Bsk chain tables are t-INDEPENDENT — sharing them
+    avoids re-uploading identical constant columns per prime (each
+    device_put costs a relay round trip on remote-attached TPUs).  The
+    cache key includes the current default device so the host-CPU
+    keygen clone (api/factory.py) gets its own CPU-resident tables."""
+    key = (
+        tuple(int(m) for m in moduli),
+        jax.default_backend(),
+        str(jax.config.jax_default_device),
+    )
+    if key not in _MOD_CHAIN_CACHE:
+        _MOD_CHAIN_CACHE[key] = ModChain(key[0])
+    return _MOD_CHAIN_CACHE[key]
+
+
 class ModChain:
     """Device-constant bundle for a base (list of moduli): the modulus
     column plus Montgomery/Shoup companions, shaped [L, 1] for broadcasting
@@ -170,7 +190,7 @@ class BFVParams:
         assert (1 << dbc) < min(qs), "digit width must fit smallest limb"
         self.digits_per_limb = -(-max(q.bit_length() for q in qs) // dbc)
 
-        self.chain_q = ModChain(qs)
+        self.chain_q = get_mod_chain(qs)
         self.ntt_q = self._make_ntt(n, qs)
         self.crt_q = CRT(list(qs))
         self.q_big = self.crt_q.product
@@ -195,7 +215,7 @@ class BFVParams:
         self.B_list, self.msk = aux[:-1], aux[-1]
         bsk = self.B_list + (self.msk,)
         self.bsk_list = bsk
-        self.chain_bsk = ModChain(bsk)
+        self.chain_bsk = get_mod_chain(bsk)
         self.ntt_bsk = self._make_ntt(n, bsk)
         self.crt_B = CRT(list(self.B_list))
         self.m_tilde = 1 << 16
@@ -238,7 +258,7 @@ class BFVParams:
             picks = [c for c in cand if c not in qs and c not in aux][:2]
             m2, g = picks[0], picks[1]  # descending scan => g < m2
             self.big_gamma, self.big_m2 = g, m2
-            self.chain_g2 = ModChain([m2, g])
+            self.chain_g2 = get_mod_chain([m2, g])
             self.big_gt_mod_q = self.chain_q.scalar_shoup_col(self.t * g)
             self.punct_q_to_g2 = self._punct_matrix(
                 self.crt_q.punctured, self.chain_g2
@@ -250,10 +270,10 @@ class BFVParams:
                     np.uint32,
                 ).reshape(-1, 1)
             )
-            m2c = ModChain([m2])
+            m2c = get_mod_chain([m2])
             self.big_m2_chain = m2c
             # gamma plane: s_g = -conv_y * q^{-1} mod gamma (gt*x = 0 mod g)
-            self.big_neg_qinv_g = ModChain([g]).scalar_shoup_col(
+            self.big_neg_qinv_g = get_mod_chain([g]).scalar_shoup_col(
                 (-modinv(self.q_big % g, g)) % g
             )
             # m2 / 2^32 planes carry V' = (gt*conv_x - conv_y) * q^{-1}
@@ -276,7 +296,7 @@ class BFVParams:
                 if c not in qs and c not in aux and c != self.t
             )
             self.gamma = g
-            self.chain_tg = ModChain([self.t, g])
+            self.chain_tg = get_mod_chain([self.t, g])
             self.gt_mod_q = self.chain_q.scalar_shoup_col(self.t * g)
             self.punct_q_to_tg = self._punct_matrix(
                 self.crt_q.punctured, self.chain_tg
@@ -287,22 +307,22 @@ class BFVParams:
                     (-modinv(self.q_big % g, g)) % g,
                 ]
             )
-            self.chain_t = ModChain([self.t])
+            self.chain_t = get_mod_chain([self.t])
             self.gamma_mod_t = self.chain_t.scalar_shoup_col(g)
             self.gamma_inv_t = self.chain_t.scalar_shoup_col(
                 modinv(g % self.t, self.t)
             )
 
         # B -> q back-conversion (Shenoy-Kumaresan with m_sk)
-        self.chain_B = ModChain(self.B_list)
+        self.chain_B = get_mod_chain(self.B_list)
         self.inv_punct_B = self.chain_B.shoup_col(self.crt_B.inv_punctured)
         self.punct_B_to_q = self._punct_matrix(
             self.crt_B.punctured, self.chain_q
         )
         self.punct_B_to_msk = self._punct_matrix(
-            self.crt_B.punctured, ModChain([self.msk])
+            self.crt_B.punctured, get_mod_chain([self.msk])
         )
-        self.msk_chain = ModChain([self.msk])
+        self.msk_chain = get_mod_chain([self.msk])
         self.Binv_mod_msk = self.msk_chain.shoup_col(
             [modinv(B_big % self.msk, self.msk)]
         )
@@ -330,7 +350,7 @@ class BFVParams:
             self.sp_list = sp
             qp = qs + sp
             self.qp_list = qp
-            self.chain_qp = ModChain(qp)
+            self.chain_qp = get_mod_chain(qp)
             self.ntt_qp = self._make_ntt(n, qp)
             self.P_big = 1
             for m in sp:
@@ -377,7 +397,7 @@ class BFVParams:
             # mod-down P -> q tables (rounded division by P); P-less
             # (ks_alpha) mode has no extension and skips the mod-down
             if a > 0:
-                self.chain_sp = ModChain(sp)
+                self.chain_sp = get_mod_chain(sp)
                 crt_sp = CRT(list(sp))
                 self.ks_inv_punct_sp = self.chain_sp.shoup_col(
                     crt_sp.inv_punctured
