@@ -49,11 +49,14 @@ class CrtBfvFactory:
         _skip_keygen: bool = False,
     ):
         if ntt_impl is None:
-            # Pallas fused NTT is bit-exact with butterfly (keys
-            # interchangeable) and ~4x faster per transform on TPU; off
-            # TPU it would run in interpret mode, so keep butterfly.
+            # 'hybrid' dispatches per operand shape between the pallas
+            # fused kernel (single-ciphertext regime, VMEM-resident) and
+            # the XLA butterfly pipeline (batched regime, measured 3.1x
+            # faster at B=64) — bit-identical outputs, so keys are
+            # interchangeable.  Off TPU pallas would run in interpret
+            # mode, so keep butterfly there.
             ntt_impl = (
-                "pallas" if jax.default_backend() == "tpu" else "butterfly"
+                "hybrid" if jax.default_backend() == "tpu" else "butterfly"
             )
         self.n = n
         self.ntt_impl = ntt_impl
@@ -212,7 +215,7 @@ class CrtBfvFactory:
         import os
 
         mode = os.environ.get("CRYPTONETS_KEYGEN", "auto")
-        cacheable = self.ntt_impl in ("butterfly", "pallas")
+        cacheable = self.ntt_impl in ("butterfly", "pallas", "hybrid")
         cache_file = None
         if cacheable and os.environ.get("CRYPTONETS_KEY_CACHE"):
             cache_file = self._key_cache_path(seed, rot_steps)

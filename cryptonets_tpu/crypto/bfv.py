@@ -174,6 +174,14 @@ class BFVParams:
             from ..kernels.pallas_ntt import get_pallas_ntt_context
 
             self._make_ntt = get_pallas_ntt_context
+        elif ntt_impl == "hybrid":
+            # batch-size dispatch between the two bit-identical impls:
+            # the pallas kernel wins in the single-ciphertext regime
+            # (whole transform VMEM-resident), the XLA-fused butterfly
+            # stage pipeline wins ~3x in the batched regime (measured
+            # 0.87 ms vs 2.72 ms per pair at B=64, n=8192 x 7 limbs —
+            # bench_data/roofline_batched_n8192_b64.json)
+            self._make_ntt = get_hybrid_ntt_context
         else:
             self._make_ntt = get_ntt_context
         # Key-switch mode.  n_special > 0 selects hybrid (special-prime)

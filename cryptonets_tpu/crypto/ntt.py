@@ -65,6 +65,47 @@ def get_ntt_context(n: int, moduli) -> "NTTContext":
     return _CONTEXT_CACHE[key]
 
 
+# dispatch to the butterfly pipeline once this many transforms batch
+# into one call (leading axes x limbs); below it the VMEM-resident
+# pallas kernel wins.  Measured crossover is between B=1 (pallas ~5%
+# faster) and B=64 (butterfly 3.1x faster) at n=8192 x 7 limbs.
+HYBRID_BATCH_THRESHOLD = 16
+
+
+class HybridNTTContext:
+    """Batch-size dispatch between the pallas fused kernel and the XLA
+    butterfly pipeline.  Both implement the identical Longa-Naehrig
+    ordering, so outputs (and NTT-domain keys) are bit-interchangeable;
+    the choice is made at trace time from the static operand shape."""
+
+    def __init__(self, n: int, moduli: tuple[int, ...]):
+        from ..kernels.pallas_ntt import get_pallas_ntt_context
+
+        self.n = n
+        self.moduli = tuple(int(m) for m in moduli)
+        self.small = get_pallas_ntt_context(n, self.moduli)
+        self.big = get_ntt_context(n, self.moduli)
+
+    def _pick(self, x):
+        batch = 1
+        for d in x.shape[:-2]:
+            batch *= int(d)
+        return self.big if batch >= HYBRID_BATCH_THRESHOLD else self.small
+
+    def forward(self, x):
+        return self._pick(x).forward(x)
+
+    def inverse(self, x):
+        return self._pick(x).inverse(x)
+
+
+def get_hybrid_ntt_context(n: int, moduli) -> "HybridNTTContext":
+    key = ("hybrid", n, tuple(int(m) for m in moduli))
+    if key not in _CONTEXT_CACHE:
+        _CONTEXT_CACHE[key] = HybridNTTContext(n, key[2])
+    return _CONTEXT_CACHE[key]
+
+
 class NTTContext:
     """Precomputed twiddle tables for a (ring degree, modulus chain) pair.
 

@@ -61,10 +61,14 @@ CONFIGS = {
         # RNS groups fit: ks_alpha=1 costs ~31 bits of key-switch noise
         # per rotation and measurably EXHAUSTS the budget before the
         # output layer (decrypt garbage); digit decomposition is used.
-        # dbc=16 leaves only 0-5 bits of final budget across record
-        # seeds (one observed exhaustion); dbc=12 (3 digits/limb)
-        # measures 8 bits at the same failing seed.
-        plain_primes=(557057, 638977, 737281, 786433), n=8192, dbc=12,
+        # Measured final-budget distributions (scripts/noise_sweep.py,
+        # bench_data/noise_sweep_lola*.json): dbc=16 -> 0-5 bits (one
+        # observed exhaustion); dbc=12 -> min 5 / median 7 over 100
+        # seeds; dbc=8 (4 digits/limb) -> min 7 / median 10 over 30
+        # seeds, zero mismatches.  Below dbc=8 the multiplication-noise
+        # floor dominates and further digit narrowing buys <2 bits, so
+        # dbc=8 is the chosen margin/latency point.
+        plain_primes=(557057, 638977, 737281, 786433), n=8192, dbc=8,
     ),
     "lola_dense": dict(  # `LoLaCryptonets.cs:123` (SMC 7 of 9 @ 16384)
         # SMC-7 = 340 SEAL bits; 11 data limbs (341 bits) measurably

@@ -228,13 +228,23 @@ def main():
             report("BEHZ ct x ct multiply + relin", tmu, mul_bytes)
 
             # ---- gamma decrypt ----------------------------------------
-            # Min traffic: ct read 8kn, output 4n.
+            # Min traffic: ct read 8kn, output 4n.  Each rep feeds its
+            # result back into the next input — identical repeated
+            # decrypts of one ciphertext get CSE'd by XLA and time as 0.
+            from cryptonets_tpu.crypto.modular import add_mod as _add_mod
+
             def dec_chain(reps, bfv=bfv, keys=keys):
                 def dec(c):
-                    outs = []
+                    acc = None
                     for _ in range(reps):
-                        outs.append(bfv.decrypt_residues_mod_t(keys, c))
-                    return jnp.stack(outs)
+                        r = bfv.decrypt_residues_mod_t(keys, c)
+                        acc = r if acc is None else acc ^ r
+                        bump = jnp.broadcast_to(
+                            (r % jnp.uint32(3))[..., None, None, :],
+                            c.data.shape,
+                        )
+                        c = type(c)(_add_mod(c.data, bump, bfv.p.chain_q.q))
+                    return acc
                 return jax.jit(dec)
 
             td = slope_time(dec_chain, ct, R)
