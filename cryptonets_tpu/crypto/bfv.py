@@ -181,6 +181,8 @@ class BFVParams:
             # stage pipeline wins ~3x in the batched regime (measured
             # 0.87 ms vs 2.72 ms per pair at B=64, n=8192 x 7 limbs —
             # bench_data/roofline_batched_n8192_b64.json)
+            from .ntt import get_hybrid_ntt_context
+
             self._make_ntt = get_hybrid_ntt_context
         else:
             self._make_ntt = get_ntt_context
