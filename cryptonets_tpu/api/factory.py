@@ -49,14 +49,20 @@ class CrtBfvFactory:
         _skip_keygen: bool = False,
     ):
         if ntt_impl is None:
-            # 'hybrid' dispatches per operand shape between the pallas
-            # fused kernel (single-ciphertext regime, VMEM-resident) and
-            # the XLA butterfly pipeline (batched regime, measured 3.1x
-            # faster at B=64) — bit-identical outputs, so keys are
-            # interchangeable.  Off TPU pallas would run in interpret
-            # mode, so keep butterfly there.
+            # Pallas fused NTT is bit-exact with butterfly (keys
+            # interchangeable).  ISOLATED batched microbenchmarks show
+            # the XLA butterfly pipeline 3x faster at B>=64
+            # (bench_data/roofline_batched_*.json), but IN-NETWORK the
+            # relation inverts hard: routing batched transforms to
+            # butterfly ('hybrid') measured LoLa at 3.09-3.45 s/record
+            # vs 1.18-1.45 s all-pallas, and its extra stage liveness
+            # OOM'd CryptoNets' HBM — isolated chains let XLA schedule
+            # 13 stages back-to-back with nothing else resident, which
+            # the real programs never do.  'hybrid' remains available
+            # for experimentation; pallas is the measured default.  Off
+            # TPU pallas would run in interpret mode, so keep butterfly.
             ntt_impl = (
-                "hybrid" if jax.default_backend() == "tpu" else "butterfly"
+                "pallas" if jax.default_backend() == "tpu" else "butterfly"
             )
         self.n = n
         self.ntt_impl = ntt_impl
