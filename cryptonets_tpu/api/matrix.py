@@ -22,6 +22,10 @@ import jax.numpy as jnp
 from ..crypto.bfv import Ciphertext, mod_sum
 from ..crypto.modular import add_mod
 from ..utils.opcount import OPS
+
+# column-chunk size for the batched ct x ct multiply (tests patch it
+# to exercise the lax.map path on tiny rings)
+_MULT_CHUNK = 128
 from .vector import DENSE, SPARSE, HEVector
 
 COLUMN_MAJOR = "col"
@@ -268,19 +272,42 @@ class HEMatrix:
             # holds ~6 copies of [chunk, C, 3, k+a, N] uint32 tensors
             # (lifted inputs, two NTT-domain tensors, the product, the
             # floor); at the CryptoNets preset (C=1, k=7, a=10, N=8192)
-            # chunk=128 keeps that under ~2.5 GB of HBM while amortizing
-            # launch/loop overhead over 128 columns.
-            chunk = 128
+            # chunk=128 keeps that under ~2.5 GB of HBM.  The chunks run
+            # under lax.map, NOT an unrolled Python loop: unrolled, XLA
+            # is free to interleave chunk schedules and the overlapping
+            # liveness blew the 845-column CryptoNets square past HBM
+            # (21.4 GB estimated); lax.map guarantees one chunk of
+            # temporaries lives at a time (and compiles the body once).
+            chunk = _MULT_CHUNK
+            import jax as _jax
+
             per = []
             for pi, bfv in enumerate(f.bfv):
-                outs = []
-                for lo in range(0, V, chunk):
+                if V <= chunk:
                     prod = bfv.multiply(
-                        Ciphertext(A[pi, lo : lo + chunk]),
-                        Ciphertext(B[pi, lo : lo + chunk]),
+                        Ciphertext(A[pi]), Ciphertext(B[pi])
                     )
-                    outs.append(bfv.relinearize(prod, f.keys).data)
-                per.append(jnp.concatenate(outs, axis=0))
+                    per.append(bfv.relinearize(prod, f.keys).data)
+                    continue
+                G_ = -(-V // chunk)
+                Vp = G_ * chunk
+                pads = [(0, Vp - V)] + [(0, 0)] * (A.ndim - 2)
+                Ag = jnp.pad(A[pi], pads).reshape(
+                    G_, chunk, *A.shape[2:]
+                )
+                Bg = jnp.pad(B[pi], pads).reshape(
+                    G_, chunk, *B.shape[2:]
+                )
+
+                def _body(ab, _bfv=bfv):
+                    a, b = ab
+                    prod = _bfv.multiply(Ciphertext(a), Ciphertext(b))
+                    return _bfv.relinearize(prod, f.keys).data
+
+                outs = _jax.lax.map(_body, (Ag, Bg))
+                per.append(
+                    outs.reshape(Vp, *outs.shape[2:])[:V]
+                )
             out = jnp.stack(per)  # [P, V, C, 2, k, N]
             vecs = [
                 HEVector(
