@@ -241,7 +241,10 @@ def run_cryptonets_batch(n_batches: int):
     from cryptonets_tpu.nn.jit import EncryptedForward
 
     batch = int(os.environ.get("BENCH_BATCH", "8192"))
-    n_batches = min(n_batches, 2)  # 2 steady batches bound raw-oracle cost
+    if n_batches > 2:  # 2 steady batches bound raw-oracle cost
+        log(f"BENCH_RECORDS={n_batches} clamped to 2 steady batches "
+            "(raw-oracle cost grows per batch)")
+    n_batches = min(n_batches, 2)
     total = batch * (n_batches + 1)
     metric = "CryptoNets-MNIST encrypted 8192-image batch"
     STATE["metric"] = metric

@@ -49,6 +49,10 @@ class CrtBfvFactory:
         _skip_keygen: bool = False,
     ):
         if ntt_impl is None:
+            import os as _os
+
+            ntt_impl = _os.environ.get("CRYPTONETS_NTT") or None
+        if ntt_impl is None:
             # Pallas fused NTT is bit-exact with butterfly (keys
             # interchangeable).  ISOLATED batched microbenchmarks show
             # the XLA butterfly pipeline 3x faster at B>=64
@@ -92,6 +96,7 @@ class CrtBfvFactory:
         self._rng_key = jax.random.key(seed ^ 0x5EED)
         self._mask_cache: dict = {}
         self._plain_cache: dict = {}
+        self._stacked_galois_cache: dict = {}
         # single-launch encrypt/decrypt across all plain primes (each
         # extra launch costs ~40ms on relay-attached TPUs)
         self._encrypt_jit = jax.jit(self._encrypt_all)
@@ -210,18 +215,21 @@ class CrtBfvFactory:
         compile whenever the relay's compile cache is cold (~100 s
         observed with a warm local cache; ~20 min fully cold — the
         round-3 driver bench died inside exactly this phase).  Key
-        tensors are NTT-domain VALUES, identical between the 'butterfly'
-        and 'pallas' NTT implementations (same Longa-Naehrig ordering),
-        so when a local CPU backend exists we generate them there —
-        local compile, seconds — and ship the ~240 MB key set to the
-        device once (~0.4 s on this rig).  `CRYPTONETS_KEYGEN=device`
-        forces the on-device path (required for the 'matmul' NTT, whose
-        evaluation ordering differs).
+        tensors are NTT-domain VALUES; 'butterfly', 'pallas' and
+        'hybrid' share the Longa-Naehrig ordering, 'matmul' has its own
+        (4-step) evaluation-point ordering.  When a local CPU backend
+        exists we generate keys there in the MATCHING ordering — local
+        compile, seconds — and ship the ~240 MB key set to the device
+        once (~0.4 s on this rig).  `CRYPTONETS_KEYGEN=device` forces
+        the on-device path.
         """
         import os
 
         mode = os.environ.get("CRYPTONETS_KEYGEN", "auto")
-        cacheable = self.ntt_impl in ("butterfly", "pallas", "hybrid")
+        cacheable = self.ntt_impl in ("butterfly", "pallas", "hybrid",
+                                      "matmul")
+        # keys are interchangeable within an ordering class only
+        kg_ntt = "matmul" if self.ntt_impl == "matmul" else "butterfly"
         cache_file = None
         if cacheable and os.environ.get("CRYPTONETS_KEY_CACHE"):
             cache_file = self._key_cache_path(seed, rot_steps)
@@ -248,7 +256,7 @@ class CrtBfvFactory:
                         seed=seed,
                         n_special=p0.n_special,
                         ks_alpha=p0.ks_alpha,
-                        ntt_impl="butterfly",
+                        ntt_impl=kg_ntt,
                     )
                     keys = BFV(kg_params).keygen(
                         seed=seed, rot_steps=rot_steps
@@ -272,11 +280,19 @@ class CrtBfvFactory:
         import os
 
         p0 = self.params[0]
-        desc = repr((
+        # keys are NTT-domain: the cache key carries the evaluation-point
+        # ordering class ('ln' = butterfly/pallas/hybrid, 'mm' = matmul);
+        # the legacy keyset-v1 tag is kept for 'ln' so pre-existing cache
+        # files still hit.
+        ordering = "mm" if self.ntt_impl == "matmul" else "ln"
+        fields = [
             "keyset-v1", self.n, self.coeff_modulus, p0.dbc,
             p0.n_special, p0.ks_alpha, int(seed),
             tuple(sorted(int(s) for s in rot_steps)),
-        ))
+        ]
+        if ordering != "ln":
+            fields.append(ordering)
+        desc = repr(tuple(fields))
         h = hashlib.sha256(desc.encode()).hexdigest()[:24]
         d = os.environ["CRYPTONETS_KEY_CACHE"]
         os.makedirs(d, exist_ok=True)
@@ -327,8 +343,16 @@ class CrtBfvFactory:
             arrays[f"g_{g}_k1"] = np.asarray(sk.k1)
         import os
 
+        # The cache holds SECRET key material (s_hat_mont/s_small):
+        # create the file 0o600 and keep the cache dir 0o700 so other
+        # local users can't read keys bench.py auto-caches.
+        try:
+            os.chmod(os.path.dirname(path) or ".", 0o700)
+        except OSError:
+            pass
         tmp = path + ".tmp"
-        with open(tmp, "wb") as fh:
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+        with os.fdopen(fd, "wb") as fh:
             np.savez(fh, **arrays)
         os.replace(tmp, path)
 
@@ -344,6 +368,30 @@ class CrtBfvFactory:
     def fresh_key(self):
         self._rng_key, k = jax.random.split(self._rng_key)
         return k
+
+    def stacked_galois(self, g_tuple):
+        """(src [L,N], negm [L,N], k0 [L,...], k1 [L,...]) stacks for a
+        static ladder of Galois elements — the xs of
+        `BFV.rotate_accumulate_scan`.  Built once per ladder (eager
+        device stack of existing key tensors) and cached; under an
+        enclosing trace the stacks hoist to shared program arguments
+        like any other key material (utils/hoist.py)."""
+        cached = self._stacked_galois_cache.get(g_tuple)
+        if cached is None:
+            from ..crypto.bfv import _automorphism_tables_np
+
+            tabs = [_automorphism_tables_np(self.n, g) for g in g_tuple]
+            srcs = jnp.asarray(np.stack([t[0] for t in tabs]))
+            negms = jnp.asarray(np.stack([t[1] for t in tabs]))
+            k0s = jnp.stack(
+                [self.keys.galois[g].k0 for g in g_tuple]
+            )
+            k1s = jnp.stack(
+                [self.keys.galois[g].k1 for g in g_tuple]
+            )
+            cached = (srcs, negms, k0s, k1s)
+            self._stacked_galois_cache[g_tuple] = cached
+        return cached
 
     def split_big_numbers(self, values) -> list[np.ndarray]:
         """Signed ints -> per-prime residue arrays (ref SplitBigNumbers,

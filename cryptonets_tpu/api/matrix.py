@@ -69,6 +69,22 @@ def _sum_slots_data(factory, d, length=None):
         d = add_mod(d, sw, q)
         length = row
     acc = d
+    row_g = factory.bfv[0].galois_elt_rows
+    g_list, steps = [], 1
+    while steps < length:
+        g_list.append(row_g(-steps % row))
+        steps *= 2
+    if (
+        g_list
+        and d.shape[-3] == 2
+        and all(g in factory.keys.galois for g in g_list)
+    ):
+        # the whole log2 tree as ONE scanned program (single traced
+        # level body; see BFV.rotate_accumulate_scan)
+        OPS.count("rotation", len(g_list))
+        return factory.bfv[0].rotate_accumulate_scan(
+            acc, factory.stacked_galois(tuple(g_list))
+        )
     steps = 1
     while steps < length:
         rot = factory.bfv[0].rotate_rows(Ciphertext(acc), -steps, factory.keys).data

@@ -281,14 +281,29 @@ class HEVector:
             d = add_mod(d, self._col_swap_data(d), p.bfv[0].p.chain_q.q)
             length = row
         acc = d
-        steps = 1
+        row_g = p.bfv[0].galois_elt_rows
+        g_list, steps = [], 1
         while steps < length:
-            rot = p.bfv[0].rotate_rows(
-                Ciphertext(acc), -steps, p.keys
-            ).data
-            OPS.count("rotation", acc.shape[1])
-            acc = add_mod(acc, rot, p.bfv[0].p.chain_q.q)
+            g_list.append(row_g(-steps % row))
             steps *= 2
+        if (
+            g_list
+            and d.shape[-3] == 2
+            and all(g in p.keys.galois for g in g_list)
+        ):
+            OPS.count("rotation", len(g_list) * d.shape[1])
+            acc = p.bfv[0].rotate_accumulate_scan(
+                acc, p.stacked_galois(tuple(g_list))
+            )
+        else:
+            steps = 1
+            while steps < length:
+                rot = p.bfv[0].rotate_rows(
+                    Ciphertext(acc), -steps, p.keys
+                ).data
+                OPS.count("rotation", acc.shape[1])
+                acc = add_mod(acc, rot, p.bfv[0].p.chain_q.q)
+                steps *= 2
         out_dim = 1 if full else self.dim
         out_fmt = SPARSE if (length is not None and length >= row) else DENSE
         if force_output_in_column is not None:

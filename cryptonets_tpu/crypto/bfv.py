@@ -1074,22 +1074,46 @@ class BFV:
         kD = p.k * p.digits_per_limb
         lead = int(np.prod(poly.shape[:-2], dtype=np.int64))
         if 4 * kD * lead * p.k * p.n > (1 << 31):
-            # big batched switches: loop digits, accumulate (see the
-            # hybrid variant for rationale)
+            # big batched switches: lax.scan over the kD digits,
+            # accumulating — identical math to the stacked path with
+            # ~kD x smaller peak memory (see the hybrid variant), and a
+            # kD x smaller traced program than the old unrolled Python
+            # loop (one digit body instead of 28 at dbc=8; the unrolled
+            # form was the bulk of the ~100 s per-process trace/lower
+            # cost of the LoLa whole-network program).
             mask = jnp.uint32((1 << p.dbc) - 1)
-            t0 = t1 = None
-            idx = 0
-            for i in range(p.k):
-                for j in range(p.digits_per_limb):
-                    dig = (poly[..., i, :] >> (p.dbc * j)) & mask
-                    dhat = p.ntt_q.forward(
-                        jnp.broadcast_to(dig[..., None, :], poly.shape)
-                    )
-                    a0 = cq.mont_mul(dhat, keys.k0[idx])
-                    a1 = cq.mont_mul(dhat, keys.k1[idx])
-                    t0 = a0 if t0 is None else add_mod(t0, a0, cq.q)
-                    t1 = a1 if t1 is None else add_mod(t1, a1, cq.q)
-                    idx += 1
+            limb_idx = jnp.asarray(
+                np.repeat(np.arange(p.k, dtype=np.int32),
+                          p.digits_per_limb)
+            )
+            shifts = jnp.asarray(
+                np.tile(
+                    np.uint32(p.dbc) * np.arange(
+                        p.digits_per_limb, dtype=np.uint32
+                    ),
+                    p.k,
+                )
+            )
+            zero = jnp.zeros(poly.shape, jnp.uint32)
+
+            def digit_body(carry, xs):
+                t0, t1 = carry
+                li, sh, k0_d, k1_d = xs
+                dig = (
+                    jnp.take(poly, li, axis=-2) >> sh
+                ) & mask  # [..., N]
+                dhat = p.ntt_q.forward(
+                    jnp.broadcast_to(dig[..., None, :], poly.shape)
+                )
+                t0 = add_mod(t0, cq.mont_mul(dhat, k0_d), cq.q)
+                t1 = add_mod(t1, cq.mont_mul(dhat, k1_d), cq.q)
+                return (t0, t1), None
+
+            (t0, t1), _ = jax.lax.scan(
+                digit_body,
+                (zero, zero),
+                (limb_idx, shifts, keys.k0, keys.k1),
+            )
             return p.ntt_q.inverse(jnp.stack([t0, t1], axis=-3))
         dhat = p.ntt_q.forward(self._decompose_digits(poly))  # [kD, ..., k, N]
         extra = dhat.ndim - 3  # leading batch dims of poly
@@ -1211,3 +1235,32 @@ class BFV:
     def rotate_columns(self, ct: Ciphertext, keys: KeySet) -> Ciphertext:
         """Swap the two slot rows (ref RotateColumns): galois elt 2n-1."""
         return self.apply_galois(ct, 2 * self.p.n - 1, keys)
+
+    def rotate_accumulate_scan(self, data, stacked) -> jnp.ndarray:
+        """acc <- acc + rotate(acc, g_l) for a stacked ladder of Galois
+        elements, as ONE lax.scan whose body is a single automorphism +
+        key switch (the log2-rotation sum tree of SumAllSlots,
+        ref `AtomicSealBfvVector.cs:871-955`, and Duplicate's ladder).
+
+        `stacked` = (src [L, N] int32, negm [L, N] bool, k0/k1 stacked
+        switch keys [L, ...]) — prepared once per ladder by the factory
+        (api/factory.py stacked_galois).  Tracing one level instead of
+        L was the other half of the per-process trace-cost fix (10-13
+        levels per dense-layer sum tree in LoLa/CryptoNets)."""
+        p = self.p
+        cq = p.chain_q
+        srcs, negms, k0s, k1s = stacked
+
+        def level(acc, xs):
+            src, negm, k0, k1 = xs
+            d = acc[..., src]
+            d = jnp.where(negm, neg_mod(d, cq.q), d)
+            ks = self._switch_key_inner(
+                d[..., 1, :, :], SwitchKeys(k0, k1)
+            )
+            c0 = add_mod(d[..., 0, :, :], ks[..., 0, :, :], cq.q)
+            rot = jnp.stack([c0, ks[..., 1, :, :]], axis=-3)
+            return add_mod(acc, rot, cq.q), None
+
+        acc, _ = jax.lax.scan(level, data, (srcs, negms, k0s, k1s))
+        return acc

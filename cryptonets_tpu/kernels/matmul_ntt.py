@@ -38,10 +38,17 @@ def _split4(n: int) -> tuple[int, int]:
 
 
 def _digit_planes_np(m: np.ndarray) -> np.ndarray:
-    """uint32 matrix -> [4, ...] f32 planes of 8-bit digits."""
+    """uint32 matrix -> [4, ...] bf16 planes of 8-bit digits.
+
+    bf16 holds 8 significand bits, so digits 0..255 are exact; the MXU
+    then runs these matmuls at its native bf16 rate (f32 operands would
+    be decomposed into multiple bf16 passes, measured ~6x slower at
+    identical results — bench_data/roofline_batched_*.json r4 vs r5)."""
+    import jax.numpy as jnp  # numpy has no bfloat16; go via jnp dtype
+
     return np.stack(
         [((m >> (8 * d)) & 0xFF).astype(np.float32) for d in range(4)]
-    )
+    ).astype(jnp.bfloat16.dtype)
 
 
 def _shoup_np(w, q):
@@ -127,9 +134,10 @@ def _tables(n: int, moduli: tuple[int, ...]):
 
 
 def _data_planes(x):
-    """uint32 [..., L, A, B] -> f32 [4, ..., L, A, B]."""
+    """uint32 [..., L, A, B] -> bf16 [4, ..., L, A, B] (8-bit digits are
+    exact in bf16; see _digit_planes_np)."""
     return jnp.stack(
-        [((x >> (8 * d)) & jnp.uint32(0xFF)).astype(jnp.float32)
+        [((x >> (8 * d)) & jnp.uint32(0xFF)).astype(jnp.bfloat16)
          for d in range(4)]
     )
 

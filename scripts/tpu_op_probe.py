@@ -176,6 +176,7 @@ def main():
     for mode, kw in (
         ("hybrid-alpha1", dict(ks_alpha=1)),
         ("digit-dbc12", dict(dbc=12)),
+        ("digit-dbc8", dict(dbc=8)),  # the shipped `lola` preset mode
     ):
         params = BFVParams(n, t_plain, coeff_modulus=qs, **kw)
         bfv = BFV(params)

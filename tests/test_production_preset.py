@@ -67,11 +67,12 @@ def test_caltech_production_preset():
 def test_lola_production_preset():
     """The flagship `lola` preset at its shipped parameters — n=8192,
     the reference's four plain primes, the full 7-limb data chain,
-    digit key switching at dbc=12 (`presets.py` 'lola', ref
+    digit key switching at dbc=8 (`presets.py` 'lola', ref
     `LoLaCryptonets.cs:208`).  Round-3 VERDICT item 8: this config was
     exercised end-to-end only by bench.py on the TPU driver — i.e. not
     in CI at all — while its noise margin is the thinnest of any model
-    (6-8 bits measured over a 100-seed sweep, scripts/noise_sweep.py)."""
+    (min 7 / median 10 bits measured over the dbc=8 seed sweep,
+    scripts/noise_sweep.py, bench_data/noise_sweep_lola_dbc8.json)."""
     from cryptonets_tpu.models import lola_mnist
 
     recs = synthetic_mnist_records(1, seed=23)
