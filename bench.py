@@ -129,6 +129,10 @@ def main():
     if network == "CryptoNets":
         run_cryptonets_batch(n_records)
         return
+    vmap_b = int(os.environ.get("BENCH_VMAP", "0"))
+    if vmap_b > 1:
+        run_vmap_throughput(network, vmap_b, n_records)
+        return
 
     from cryptonets_tpu.data.preprocess import synthetic_mnist_records
     from cryptonets_tpu.models import lola_mnist
@@ -224,6 +228,154 @@ def main():
         if remaining() < 1.5 * max(STATE["lats"]) and i + 1 < n_records:
             log(f"deadline approaching ({remaining():.0f}s left): "
                 f"stopping after {i + 1}/{n_records} records")
+            break
+    if len(STATE["lats"]) > 1 or STATE["emitted"] == 0:
+        emit(final=True)
+
+
+def run_vmap_throughput(network: str, B: int, n_launches: int):
+    """Record-batched throughput (BENCH_VMAP=B): vmap B records of a
+    single-image network into ONE fused device launch — device slot
+    encode + RLWE encrypt + network + gamma decrypt + slot decode for
+    all B records per program — and report ms/record.  Amortizes the
+    ~40 ms relay launch floor that dominates the single-record numbers
+    of the small models (Caltech is one dense layer; the reference
+    amortizes with its 8192-slot SIMD batch instead,
+    `README.md:178-197`).  Gate: every record's decoded output matches
+    the Raw oracle exactly."""
+    import numpy as np
+
+    metric = f"{network} encrypted throughput at record-batch {B}"
+    STATE["metric"] = metric
+    STATE["out_base"] = {
+        "metric": metric, "value": None, "unit": "s",
+        "_baseline": None, "_per_image_div": B, "record_batch": B,
+    }
+
+    if network == "Caltech":
+        from cryptonets_tpu.data.preprocess import synthetic_feature_records
+        from cryptonets_tpu.models import caltech101
+
+        def builder(encrypt, records=None):
+            return caltech101.build(encrypt, records=records)
+
+        records = synthetic_feature_records(
+            B, caltech101.N_FEATURES, seed=11
+        )
+    else:
+        from cryptonets_tpu.data.preprocess import synthetic_mnist_records
+        from cryptonets_tpu.models import lola_mnist
+
+        builder = lola_mnist.BUILDERS[network]
+        records = synthetic_mnist_records(B, seed=11)
+
+    STATE["phase"] = "raw-oracle"
+    head_r, _, _ = builder(False, records=[(l, f.copy()) for l, f in records])
+    head_r.prepare_network()
+    raws = []
+    while True:
+        mr = head_r.get_next()
+        if mr is None:
+            break
+        col = mr.get_column(0) if hasattr(mr, "get_column") else mr
+        raws.append(np.asarray(col.decrypt(), dtype=float))
+    log(f"raw oracle done: {len(raws)} records")
+
+    STATE["phase"] = "factory+keygen+prepare"
+    import jax
+    import jax.numpy as jnp
+
+    from cryptonets_tpu.api.matrix import HEMatrix
+    from cryptonets_tpu.api.vector import HEVector
+    from cryptonets_tpu.nn.jit import EncryptedForward
+    from cryptonets_tpu.utils.hoist import hoist_jit
+
+    t0 = time.time()
+    head, fac, reader = builder(True, records=records)
+    head.prepare_network()
+    log(f"factory+keygen+prepare: {time.time() - t0:.1f}s")
+    STATE["out_base"]["keygen_s"] = round(time.time() - t0, 1)
+    assert fac._device_encode and fac._device_decode, (
+        "BENCH_VMAP needs device-side encode/decode (plain primes < 2^31)"
+    )
+
+    fwd = EncryptedForward(head, jit=False)
+    # host side: scaled-int slot buffers per record (cheap index math)
+    bufs_list, metas = [], None
+    while True:
+        raw = fwd.reader.get_next()
+        if raw is None:
+            break
+        vecs = np.asarray(raw.m, dtype=np.float64).T  # [V, dim]
+        V, dim = vecs.shape
+        C = max(1, -(-dim // fac.n))
+        padded = np.zeros((V, C * fac.n), np.int64)
+        padded[:, :dim] = np.round(vecs).astype(np.int64)
+        bufs_list.append(fac.encode_bufs(padded.reshape(V * C, fac.n)))
+        metas = (V, C, dim, float(raw.scale))
+    V, C, dim, scale = metas
+    bufs = jnp.stack(bufs_list)  # [B, P, V*C, n]
+    rngs = jax.random.split(fac.fresh_key(), B)
+    capture = {}
+
+    def fused_record(buf, rng):
+        data = fac._encrypt_all_dev(buf, rng)
+        data = data.reshape(fac.P, V, C, *data.shape[2:])
+        vecs = [
+            HEVector(fac, data=data[:, i], dim=dim, scale=scale,
+                     fmt="dense")
+            for i in range(V)
+        ]
+        m = HEMatrix(fac, vecs, "col")
+        for layer in fwd.layers:
+            m = layer.apply(m)
+        capture["meta"] = [
+            (v.dim, v.scale, v.fmt, v.is_signed) for v in m.vectors
+        ]
+        return [fac._decrypt_decode_all(v.data) for v in m.vectors]
+
+    vfused = hoist_jit(jax.vmap(fused_record))
+
+    STATE["phase"] = "warmup-compile"
+    t0 = time.time()
+    outs = jax.block_until_ready(vfused(bufs, rngs))
+    log(f"warmup (compile) batch: {time.time() - t0:.1f}s")
+
+    # correctness gate: every record exact vs the raw oracle
+    vdim, vscale, vfmt, _ = capture["meta"][0]
+
+    def join(slots_b):
+        if vfmt == "sparse":
+            per = [slots_b[pi, :, 0].astype(np.int64)[:vdim]
+                   for pi in range(fac.P)]
+            vals = fac.join_split_numbers(per)
+        else:
+            vals = fac.join_decoded_blocks(slots_b, vdim)
+        return np.array([float(v) for v in vals]) / vscale
+
+    for b in range(B):
+        dec = join(np.asarray(outs[0][b]))
+        nshared = min(len(dec), len(raws[b]))
+        if not np.allclose(dec[:nshared], raws[b][:nshared], rtol=1e-9):
+            log(f"MISMATCH record {b}: enc={dec[:5]} raw={raws[b][:5]}")
+            raise SystemExit("vmap output disagrees with raw oracle")
+    log(f"all {B} records match the raw oracle exactly")
+
+    STATE["phase"] = "timing"
+    for i in range(n_launches):
+        t0 = time.time()
+        outs = jax.block_until_ready(vfused(bufs, rngs))
+        # host CRT join for every record (part of serving)
+        slots0 = np.asarray(outs[0])
+        for b in range(B):
+            join(slots0[b])
+        STATE["lats"].append(time.time() - t0)
+        log(f"batch latency {STATE['lats'][-1]:.3f}s "
+            f"({1000 * STATE['lats'][-1] / B:.1f} ms/record)")
+        if STATE["emitted"] == 0:
+            emit(final=False)
+        if remaining() < 1.5 * max(STATE["lats"]) and i + 1 < n_launches:
+            log("deadline approaching: stopping early")
             break
     if len(STATE["lats"]) > 1 or STATE["emitted"] == 0:
         emit(final=True)

@@ -62,9 +62,17 @@ def _choose_g(row: int, F: int, cap: int = 256) -> int:
 
 
 class BsgsDenseForm:
-    """Host-side preparation: diagonal slot-value table for W [R, D]."""
+    """Host-side preparation: diagonal slot-value table for W [R, D].
 
-    def __init__(self, factory, w_int: np.ndarray, out_dim: int, in_dim: int):
+    `g` overrides the baby count (must be a power of two <= n/2): with
+    HOISTED baby steps (one shared digit decomposition, see
+    `_hoisted_babies_hat`) babies are nearly free, so the optimal g is
+    much larger than `_choose_g`'s rotation-count model suggests —
+    bounded in practice by Galois-key HBM (one switch key per step
+    1..g-1) and the [P, g, F, 2, k, N] baby tensor."""
+
+    def __init__(self, factory, w_int: np.ndarray, out_dim: int,
+                 in_dim: int, g: int | None = None):
         n = factory.n
         row = n // 2
         R, D = int(out_dim), int(in_dim)
@@ -91,7 +99,9 @@ class BsgsDenseForm:
         # flip axis needed only when inputs/outputs span both slot rows
         F = 2 if (R > row or D > row) else 1
         self.F = F
-        g = _choose_g(row, F)
+        if g is None:
+            g = _choose_g(row, F)
+        assert g & (g - 1) == 0 and 1 <= g <= row, g
         G = row // g
         self.g, self.G = g, G
 
@@ -136,6 +146,52 @@ def _encode_diag_chunk(fac, tbl_a):
     return jnp.stack(per).reshape(fac.P, g, F, k, n)
 
 
+def _hoisted_babies_hat(fac, ub, g):
+    """HOISTED baby rotations, all in the NTT domain (Halevi-Shoup
+    hoisting adapted to digit key switching): digit-decompose + NTT the
+    input ONCE, then every rotation is a gather (evaluation-point
+    permutation, `ntt_automorphism_perm`) + one switch-key inner
+    product — ZERO additional NTTs per baby, vs a full key switch
+    (~k*D*(k)+2k limb transforms) per baby in the chained path.
+
+    Digit smallness under the automorphism: sigma permutes and negates
+    coefficients, so sigma(D_d(c1)) has coefficients +-2^dbc in the
+    CENTERED sense — the key-switch noise bound is unchanged, and
+    sigma(c1) = sum_d w_d * sigma(D_d(c1)) holds exactly as ring
+    elements, so the switched result equals (up to fresh key-switch
+    noise) the unhoisted rotation.
+
+    ub: [P, F, 2, k, N] -> bab_hat [P, g, F, 2, k, N] (NTT domain)."""
+    import jax
+
+    bfv0 = fac.bfv[0]
+    p = bfv0.p
+    cq = p.chain_q
+    c0, c1 = ub[..., 0, :, :], ub[..., 1, :, :]     # [P, F, k, N]
+    c0_hat = p.ntt_q.forward(c0)
+    c1_hat = p.ntt_q.forward(c1)
+    dig = bfv0._decompose_digits(c1)                # [kD, P, F, k, N]
+    dhat = p.ntt_q.forward(dig)
+    perms, k0s, k1s = fac.stacked_baby_rotations(g)
+
+    def body(_, xs):
+        perm, k0, k1 = xs                            # [N], [kD, k, N] x2
+        dp = dhat[..., perm]
+        t0 = mod_sum(
+            cq.mont_mul(dp, k0[:, None, None]), cq.q, axis=0
+        )
+        t1 = mod_sum(
+            cq.mont_mul(dp, k1[:, None, None]), cq.q, axis=0
+        )
+        c0r = add_mod(c0_hat[..., perm], t0, cq.q)
+        return None, jnp.stack([c0r, t1], axis=-3)   # [P, F, 2, k, N]
+
+    _, rot = jax.lax.scan(body, None, (perms, k0s, k1s))
+    base = jnp.stack([c0_hat, c1_hat], axis=-3)      # [P, F, 2, k, N]
+    bab = jnp.concatenate([base[None], rot], axis=0)  # [g, P, F, 2, k, N]
+    return jnp.moveaxis(bab, 0, 1)                   # [P, g, F, 2, k, N]
+
+
 def bsgs_matvec(form: BsgsDenseForm, data):
     """Apply the prepared diagonal form to ciphertext data
     [P, 1, 2, k, N]; returns output ciphertext data [P, 1, 2, k, N].
@@ -166,25 +222,39 @@ def bsgs_matvec(form: BsgsDenseForm, data):
     else:
         ub = u[:, None]
 
-    # ---- baby steps: rot_b(u) for b < g, incremental single-hop +1s
-    # (op counts reflect EXECUTED key switches per path: the scanned baby
-    # chain performs g switches — the last one is discarded — while the
-    # unrolled chain performs g-1)
-    OPS.count("rotation", F * (g if g > 8 else g - 1))
-    if g > 8:
-        def baby_body(cur, _):
-            return bfv0.rotate_rows(Ciphertext(cur), 1, keys).data, cur
-
-        _, bab = jax.lax.scan(baby_body, ub, None, length=g)
-        bab = jnp.moveaxis(bab, 0, 1)                     # [P, g, F, 2, k, N]
+    # ---- baby steps: rot_b(u) for b < g.  HOISTED when the factory has
+    # a Galois key for every step 1..g-1 and the chain uses digit key
+    # switching: one shared decomposition + per-step NTT-domain gathers
+    # (zero NTTs per baby).  Otherwise the incremental single-hop chain.
+    hoist = (
+        g > 1
+        and not p.ks_hybrid
+        and all(
+            bfv0.galois_elt_rows(b) in keys.galois for b in range(1, g)
+        )
+    )
+    if hoist:
+        OPS.count("rotation", F * (g - 1))
+        bab_hat = _hoisted_babies_hat(fac, ub, g)         # [P, g, F, 2, k, N]
     else:
-        babies = [ub]
-        cur = ub
-        for _ in range(1, g):
-            cur = bfv0.rotate_rows(Ciphertext(cur), 1, keys).data
-            babies.append(cur)
-        bab = jnp.stack(babies, axis=1)
-    bab_hat = p.ntt_q.forward(bab)                        # [P, g, F, 2, k, N]
+        # (op counts reflect EXECUTED key switches per path: the scanned
+        # baby chain performs g switches — the last one is discarded —
+        # while the unrolled chain performs g-1)
+        OPS.count("rotation", F * (g if g > 8 else g - 1))
+        if g > 8:
+            def baby_body(cur, _):
+                return bfv0.rotate_rows(Ciphertext(cur), 1, keys).data, cur
+
+            _, bab = jax.lax.scan(baby_body, ub, None, length=g)
+            bab = jnp.moveaxis(bab, 0, 1)                 # [P, g, F, 2, k, N]
+        else:
+            babies = [ub]
+            cur = ub
+            for _ in range(1, g):
+                cur = bfv0.rotate_rows(Ciphertext(cur), 1, keys).data
+                babies.append(cur)
+            bab = jnp.stack(babies, axis=1)
+        bab_hat = p.ntt_q.forward(bab)                    # [P, g, F, 2, k, N]
 
     tbl = jnp.asarray(form.table)    # constant -> hoisted to a program arg
 

@@ -393,6 +393,29 @@ class CrtBfvFactory:
             self._stacked_galois_cache[g_tuple] = cached
         return cached
 
+    def stacked_baby_rotations(self, g: int):
+        """(perm [g-1, N] int32, k0 [g-1, kD, ...], k1) stacks for the
+        hoisted BSGS baby steps 1..g-1 (api/bsgs.py): NTT-domain
+        automorphism gather tables plus that step's switch keys.
+        Requires Galois keys for every step (factory rot_steps)."""
+        key = ("bsgs_baby", g)
+        cached = self._stacked_galois_cache.get(key)
+        if cached is None:
+            from ..crypto.ntt import ntt_automorphism_perm
+
+            bfv0 = self.bfv[0]
+            gs = [bfv0.galois_elt_rows(b) for b in range(1, g)]
+            perms = jnp.asarray(
+                np.stack(
+                    [ntt_automorphism_perm(self.n, ge) for ge in gs]
+                )
+            )
+            k0s = jnp.stack([self.keys.galois[ge].k0 for ge in gs])
+            k1s = jnp.stack([self.keys.galois[ge].k1 for ge in gs])
+            cached = (perms, k0s, k1s)
+            self._stacked_galois_cache[key] = cached
+        return cached
+
     def split_big_numbers(self, values) -> list[np.ndarray]:
         """Signed ints -> per-prime residue arrays (ref SplitBigNumbers,
         `EncryptedSealBfvVector.cs:352-379`)."""

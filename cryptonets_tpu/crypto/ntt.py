@@ -53,6 +53,34 @@ def _shoup_np(w: np.ndarray, q: int) -> np.ndarray:
     return ((w.astype(object) << 32) // q).astype(np.uint64).astype(np.uint32)
 
 
+@lru_cache(maxsize=None)
+def ntt_automorphism_perm(n: int, g: int) -> np.ndarray:
+    """NTT-domain index permutation realizing a(x) -> a(x^g).
+
+    In the evaluation domain the Galois automorphism is a PURE index
+    permutation (no negacyclic sign flips — those exist only in the
+    coefficient representation): position j of this butterfly ordering
+    holds the evaluation at psi^(2*brv(j)+1), and sigma_g moves the
+    evaluation at omega to position of omega^g, so
+
+        NTT(sigma_g(x))[j] = NTT(x)[perm[j]],
+        e(perm[j]) = e(j) * g  (mod 2n),  e(j) = 2*brv(j) + 1.
+
+    This is the hoisting primitive (Halevi-Shoup): one digit decompose +
+    NTT of a ciphertext serves EVERY subsequent rotation as a gather
+    (tests/test_ntt.py validates against the coefficient-domain
+    automorphism per Galois element)."""
+    logn = n.bit_length() - 1
+    j = np.arange(n)
+    brv = np.array([bit_reverse(int(i), logn) for i in range(n)])
+    e = 2 * brv + 1
+    target = (e * g) % (2 * n)
+    # invert e: position holding evaluation exponent t
+    pos_of_e = np.empty(2 * n, np.int64)
+    pos_of_e[e] = j
+    return pos_of_e[target].astype(np.int32)
+
+
 _CONTEXT_CACHE: dict = {}
 
 

@@ -287,8 +287,68 @@ def build_lola_large(
     return dense6, factory, reader
 
 
+def build_lola_bsgs(encrypt: bool, records=None, file_name=None,
+                    seed: int = 0):
+    """The LoLa model with TPU-NATIVE packing: same weights, same
+    fixed-point scales, bit-identical logits as `build_lola`, but the
+    Duplicate(8) -> PackedDense -> Interleave -> InterleavedDense chain
+    (`LoLaCryptonets.cs:203-278` — a packing strategy chosen because
+    SEAL rotations are expensive one-at-a-time) is replaced by two
+    hoisted-BSGS diagonal dense layers (api/bsgs.py): Conv -> Vectorize
+    -> Square -> Dense(100, BSGS g=64) -> Square -> Dense(10, BSGS
+    g=32).  The factory carries Galois keys for baby steps 1..63, so
+    every baby rotation is one NTT-domain gather + switch-key inner
+    product off a single shared digit decomposition."""
+    factory = make_factory("lola", encrypt, seed,
+                           rot_steps=tuple(range(1, 64)))
+    W = _load_cryptonets_weights()
+    weightscale = 32
+    geo = _mnist_geometry()
+
+    reader = LLConvReader(
+        factory if not encrypt else make_factory("lola", False),
+        file_name=file_name,
+        normalization_factor=1.0 / 256.0,
+        scale=16.0,
+        **geo,
+    )
+    if records is not None:
+        reader.set_source_records(records)
+    enc = EncryptLayer(reader)
+    enc.factory = factory
+    conv = LLPoolLayer(
+        enc, map_count=[5, 1], weights=W["Weights_0"],
+        weights_scale=weightscale, **geo,
+    )
+    vec = LLVectorizeLayer(conv)
+    act = SquareActivation(vec)
+    dense5 = LLDenseLayer(
+        act,
+        weights=transpose_flat(W["Weights_1"], 5 * 13 * 13, 100),
+        bias=W["Biases_2"],
+        weights_scale=weightscale * weightscale,
+        input_format="dense",
+        force_dense_format=True,
+        use_bsgs=True,
+        bsgs_g=64,
+    )
+    act7 = SquareActivation(dense5)
+    dense8 = LLDenseLayer(
+        act7,
+        weights=W["Weights_3"],
+        bias=W["Biases_3"],
+        weights_scale=weightscale,
+        input_format="dense",
+        force_dense_format=True,
+        use_bsgs=True,
+        bsgs_g=32,
+    )
+    return dense8, factory, reader
+
+
 BUILDERS = {
     "LoLa": build_lola,
+    "LoLaBsgs": build_lola_bsgs,
     "LoLaSmall": build_lola_small,
     "LoLaDense": build_lola_dense,
     "LoLaLarge": build_lola_large,

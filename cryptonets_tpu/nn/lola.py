@@ -427,6 +427,8 @@ class LLDenseLayer(Layer):
         weights_scale: float = 1.0,
         input_format: str = "dense",
         force_dense_format: bool = False,
+        use_bsgs: bool | None = None,
+        bsgs_g: int | None = None,
     ):
         super().__init__(source)
         self.weights = np.asarray(weights, float)
@@ -434,6 +436,12 @@ class LLDenseLayer(Layer):
         self.weights_scale = float(weights_scale)
         self.input_format = input_format
         self.force_dense_format = force_dense_format
+        # use_bsgs: None = size heuristic (maps >= 128); True forces the
+        # BSGS diagonal matvec (e.g. with hoisted babies via a factory
+        # that has per-step Galois keys); False forces per-row dots.
+        # bsgs_g overrides the baby count (api/bsgs.py BsgsDenseForm).
+        self.use_bsgs = use_bsgs
+        self.bsgs_g = bsgs_g
         self.weights_matrix = None
         self.bias_vector = None
         self.bsgs_form = None
@@ -463,9 +471,14 @@ class LLDenseLayer(Layer):
             # switches total instead of maps*log2(n/2) (api/bsgs.py).
             # Per-row dots stay for small heads and factories without
             # device-side encoding (big plain moduli).
+            want_bsgs = (
+                self.use_bsgs
+                if self.use_bsgs is not None
+                else maps >= 128
+            )
             if (
                 self.force_dense_format
-                and maps >= 128
+                and want_bsgs
                 and maps <= self.factory.n
                 and wmat.shape[1] <= self.factory.n
                 and getattr(self.factory, "_device_encode", False)
@@ -479,7 +492,8 @@ class LLDenseLayer(Layer):
                     wmat * self.weights_scale
                 ).astype(np.int64)
                 self.bsgs_form = BsgsDenseForm(
-                    self.factory, w_int, maps, wmat.shape[1]
+                    self.factory, w_int, maps, wmat.shape[1],
+                    g=self.bsgs_g,
                 )
                 return
             self.weights_matrix = self.factory.get_plain_matrix(

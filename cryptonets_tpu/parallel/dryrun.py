@@ -160,33 +160,54 @@ def run_sharded_forward(mesh, head, fac, recs, build_raw, limb_axis: int = 4):
 
 
 def dryrun_production(mesh, n_records: int | None = None, seed: int = 13):
-    """GSPMD-partition the PRODUCTION lola_small preset (n=8192, k=5+2
-    special limbs, hybrid key switching, 2 plain primes) over the mesh
-    and check exact raw agreement — the toy ring (n=256) cannot surface
-    partitioning surprises in the production shapes (round-3 VERDICT
-    item 5)."""
+    """GSPMD-partition the PRODUCTION LoLaSmall network at n=8192 with
+    REAL RNS-limb tensor parallelism and check exact raw agreement — the
+    toy ring (n=256) cannot surface partitioning surprises in the
+    production shapes (round-3 VERDICT item 5; round-4 item: the limb
+    axis itself, not the prime axis, must shard at production geometry).
+
+    Chain geometry: the lola_small preset's 5-data + 2-special limbs do
+    not divide a 2/4-way mesh axis (jit/device_put reject uneven shard
+    dims), so the dryrun runs the same network on a 6-data + 1-special
+    chain — 186 data bits >= the preset's 130-bit SEAL-SMC3 requirement,
+    7 * 31 = 217 of the 218-bit 128-bit-security budget at n=8192 — and
+    shards the k=6 limb axis of every [B, P, C, s, k, N] tensor over
+    `limb`.  Per-limb NTTs run shard-local; GSPMD inserts the
+    collectives at the hybrid key-switch base extension/mod-down (the
+    Q <-> Q*P reshard).  Plain primes (P=2) stay replicated; records
+    ride `batch`."""
     from ..data.preprocess import synthetic_mnist_records
     from ..models import lola_mnist
+    from ..models import presets
 
+    limb = int(mesh.shape["limb"])
+    k_data = 6
+    if limb > 1 and k_data % limb != 0:
+        raise ValueError(
+            f"mesh limb axis {limb} must divide the {k_data}-limb data "
+            "chain evenly (uneven shard dims are rejected by "
+            "device_put/jit) — use a mesh with limb in (1, 2, 3, 6)"
+        )
     if n_records is None:
         # the record axis must divide evenly over the mesh's batch axis
         n_records = max(2, int(mesh.shape["batch"]))
     recs = synthetic_mnist_records(n_records, seed=seed)
-    head, fac, reader = lola_mnist.build_lola_small(
-        encrypt=True, records=[(l, f.copy()) for l, f in recs]
+    base = dict(presets.CONFIGS["lola_small"])
+    presets.CONFIGS["lola_small"] = dict(
+        base, coeff_count=k_data, n_special=1
     )
-    head.prepare_network()
+    try:
+        head, fac, reader = lola_mnist.build_lola_small(
+            encrypt=True, records=[(l, f.copy()) for l, f in recs]
+        )
+        head.prepare_network()
 
-    def build_raw():
-        rh, _, rr = lola_mnist.build_lola_small(encrypt=False)
-        rh.prepare_network()
-        return rh, rr
+        def build_raw():
+            rh, _, rr = lola_mnist.build_lola_small(encrypt=False)
+            rh.prepare_network()
+            return rh, rr
 
-    # records over `batch`; the plain-prime axis (P=2, the reference's
-    # Task-per-prime fan-out, `EncryptedSealBfvVector.cs:225-236`) over
-    # the second mesh axis — the preset's 5 data limbs do not divide the
-    # mesh evenly (jit/device_put reject uneven shard dims), so limb TP
-    # at production geometry is covered by the prime axis here and by
-    # true limb sharding in the toy-ring dryrun/tests.
-    return run_sharded_forward(mesh, head, fac, recs, build_raw,
-                               limb_axis=1)
+        return run_sharded_forward(mesh, head, fac, recs, build_raw,
+                                   limb_axis=4)
+    finally:
+        presets.CONFIGS["lola_small"] = base

@@ -35,11 +35,22 @@ def main():
     from cryptonets_tpu.models import lola_mnist
     from cryptonets_tpu.nn.jit import StagedForward
 
-    records = synthetic_mnist_records(args.records, seed=11)
     t0 = time.time()
-    head, fac, reader = lola_mnist.BUILDERS[args.network](
-        True, records=records
-    )
+    if args.network == "CryptoNets":
+        from cryptonets_tpu.models import cryptonets_mnist
+
+        batch = int(os.environ.get("BENCH_BATCH", "8192"))
+        records = synthetic_mnist_records(
+            batch * args.records, seed=11
+        )
+        head, fac, reader = cryptonets_mnist.build(
+            True, batch, records=records
+        )
+    else:
+        records = synthetic_mnist_records(args.records, seed=11)
+        head, fac, reader = lola_mnist.BUILDERS[args.network](
+            True, records=records
+        )
     head.prepare_network()
     print(f"# keygen+prepare: {time.time()-t0:.1f}s", file=sys.stderr)
 

@@ -87,3 +87,26 @@ def test_linearity():
     np.testing.assert_array_equal(
         np.asarray(fsum), np.asarray(M.add_mod(fa, fb, ctx.q))
     )
+
+
+def test_ntt_automorphism_perm():
+    """NTT-domain automorphism = pure gather: NTT(sigma_g(x)) ==
+    NTT(x)[perm] for every Galois element used by rotations (the
+    hoisting primitive behind api/bsgs.py's hoisted baby steps)."""
+    from cryptonets_tpu.crypto.bfv import _automorphism_tables_np
+    from cryptonets_tpu.crypto.ntt import ntt_automorphism_perm
+
+    n = 256
+    qs = ntt_primes(n, 30, 2)
+    ctx = NTTContext(n, qs)
+    x = rand_poly(qs, n)
+    fx = np.asarray(ctx.forward(jnp.asarray(x)))
+    for g in [3, 9, pow(3, 7, 2 * n), 2 * n - 1, pow(3, n // 2 - 1, 2 * n)]:
+        src, neg = _automorphism_tables_np(n, g)
+        sx = x[..., src].copy()
+        for li, q in enumerate(qs):
+            sxl = sx[li]
+            sxl[neg] = (q - sxl[neg]) % q
+        fsx = np.asarray(ctx.forward(jnp.asarray(sx)))
+        perm = ntt_automorphism_perm(n, g)
+        np.testing.assert_array_equal(fsx, fx[..., perm])
