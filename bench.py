@@ -164,7 +164,8 @@ def main():
         # LoLa: published 2.2 s; LoLaSmall: LoLa paper's 0.29 s small
         # network; LoLaDense/LoLaLarge: no published latency exists
         baseline_s = {
-            "LoLa": BASELINE_S, "LoLaSmall": 0.29,
+            "LoLa": BASELINE_S, "LoLaBsgs": BASELINE_S,
+            "LoLaPacked": BASELINE_S, "LoLaSmall": 0.29,
         }.get(network)
         metric = f"{network}-MNIST encrypted single-image latency"
 
@@ -429,7 +430,9 @@ def run_cryptonets_batch(n_batches: int):
     log(f"factory+keygen+prepare: {keygen_s:.1f}s")
     STATE["out_base"]["keygen_s"] = round(keygen_s, 1)
 
-    fwd = EncryptedForward(head, jit=True)
+    fuse = os.environ.get("BENCH_FUSE", "1") != "0"
+    fwd = EncryptedForward(head, jit=True, fuse_io=fuse)
+    log(f"fused single-launch pipeline: {fwd.fuse_io}")
     STATE["phase"] = "warmup-compile"
     t0 = time.time()
     m = fwd()

@@ -164,14 +164,36 @@ def _hoisted_babies_hat(fac, ub, g):
     ub: [P, F, 2, k, N] -> bab_hat [P, g, F, 2, k, N] (NTT domain)."""
     import jax
 
+    from ..crypto.modular import mul_const_mod
+
     bfv0 = fac.bfv[0]
     p = bfv0.p
     cq = p.chain_q
     c0, c1 = ub[..., 0, :, :], ub[..., 1, :, :]     # [P, F, k, N]
     c0_hat = p.ntt_q.forward(c0)
     c1_hat = p.ntt_q.forward(c1)
-    dig = bfv0._decompose_digits(c1)                # [kD, P, F, k, N]
-    dhat = p.ntt_q.forward(dig)
+    if p.ks_hybrid:
+        # P-less RNS-group decomposition (ks_alpha, n_special == 0:
+        # keys live mod Q, no mod-down — the only hybrid flavor whose
+        # switched result stays in the NTT domain)
+        y = mul_const_mod(c1, *p.ks_inv_punct_grp, cq.q)
+        w, w_sh = p.ks_grp_conv                      # [k, kp, 1]
+        terms = mul_const_mod(
+            y[..., :, None, :], w, w_sh, p.chain_qp.q[None, :, :]
+        )                                            # [P, F, k, kp, N]
+        ds = []
+        for i0, i1 in p.ks_groups:
+            seg = terms[..., i0:i1, :, :]
+            ds.append(
+                mod_sum(seg, p.chain_qp.q, axis=-3)
+                if i1 - i0 > 1
+                else seg[..., 0, :, :]
+            )
+        dig = jnp.stack(ds, axis=0)                  # [omega, P, F, kp, N]
+        dhat = p.ntt_qp.forward(dig)
+    else:
+        dig = bfv0._decompose_digits(c1)             # [kD, P, F, k, N]
+        dhat = p.ntt_q.forward(dig)
     perms, k0s, k1s = fac.stacked_baby_rotations(g)
 
     def body(_, xs):
@@ -228,7 +250,7 @@ def bsgs_matvec(form: BsgsDenseForm, data):
     # (zero NTTs per baby).  Otherwise the incremental single-hop chain.
     hoist = (
         g > 1
-        and not p.ks_hybrid
+        and (not p.ks_hybrid or p.n_special == 0)
         and all(
             bfv0.galois_elt_rows(b) in keys.galois for b in range(1, g)
         )

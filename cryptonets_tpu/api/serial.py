@@ -6,6 +6,17 @@ Format: a single .npz per artifact with a JSON config entry.  Key files
 may exclude the secret key (`IFactory.cs:296-304` semantics): a factory
 loaded from a public-only file encrypts and evaluates but refuses to
 decrypt, matching the reference's client/server split.
+
+Wire-format note (vs the reference): the reference frames ciphertexts
+as TEXT — per-vector header lines plus one base64-encoded SEAL blob per
+ciphertext (`AtomicSealBfvVector.cs:1273-1345`) — because its payloads
+are opaque native-SEAL buffers.  Here a ciphertext IS a uint32 limb
+tensor, so the natural wire format is a binary .npz: the [P, C, size,
+k, N] array verbatim plus a JSON metadata entry (dim/scale/format/
+signedness — the same fields the reference's text header carries).
+Functionally equivalent (client encrypt -> ship -> server evaluate ->
+ship -> client decrypt round-trips in tests/test_serial.py), ~25%
+smaller than base64, and zero-copy to device.
 """
 
 from __future__ import annotations

@@ -33,8 +33,13 @@ def build(
     records=None,
     file_name=None,
     seed: int = 0,
+    preset: str = "cryptonets",
 ):
-    factory = make_factory("cryptonets", encrypt, seed)
+    """`preset` picks the factory config: "cryptonets" (TPU-native
+    3x~30-bit plain CRT, device encode/decode + fused pipeline) or
+    "cryptonets_bigt" (the reference's verbatim 2x~39-bit primes,
+    host big-int encode path — kept for parity evidence)."""
+    factory = make_factory(preset, encrypt, seed)
     W = weights_extract.load("cryptonets")
     if W is None:
         W = weights_extract.synthetic_weights(
@@ -45,7 +50,7 @@ def build(
         )
     weightscale = 32
     reader = BatchReader(
-        make_factory("cryptonets", False),
+        make_factory(preset, False),
         file_name=file_name,
         max_slots=batch_size,
         normalization_factor=1.0 / 256.0,

@@ -298,9 +298,18 @@ def build_lola_bsgs(encrypt: bool, records=None, file_name=None,
     -> Square -> Dense(100, BSGS g=64) -> Square -> Dense(10, BSGS
     g=32).  The factory carries Galois keys for baby steps 1..63, so
     every baby rotation is one NTT-domain gather + switch-key inner
-    product off a single shared digit decomposition."""
+    product off a single shared decomposition.
+
+    Key switching: P-less RNS groups (ks_alpha=1) — ~3.3x fewer limb
+    NTTs per switch than the preset's digit dbc=8 (63 vs 210) and 4x
+    smaller Galois keys.  Its ~31-bit key-switch noise exhausts the
+    REFERENCE packing (see presets.py 'lola'), but this pipeline has no
+    interleave mask multiplies and far fewer switch accumulations:
+    measured final budget 30 bits (46-47 at digit dbc=8), exact vs the
+    Raw oracle."""
     factory = make_factory("lola", encrypt, seed,
-                           rot_steps=tuple(range(1, 64)))
+                           rot_steps=tuple(range(1, 64)),
+                           ks_alpha=1)
     W = _load_cryptonets_weights()
     weightscale = 32
     geo = _mnist_geometry()
@@ -346,9 +355,14 @@ def build_lola_bsgs(encrypt: bool, records=None, file_name=None,
     return dense8, factory, reader
 
 
+# "LoLa" is the TPU-native hoisted-BSGS pipeline (same model, same
+# logits, driver-benched 0.506 s vs 1.50 s packed / 2.2 s reference);
+# "LoLaPacked" keeps the reference's exact packing strategy
+# (Duplicate/PackedDense/Interleave/InterleavedDense) for parity.
 BUILDERS = {
-    "LoLa": build_lola,
+    "LoLa": build_lola_bsgs,
     "LoLaBsgs": build_lola_bsgs,
+    "LoLaPacked": build_lola,
     "LoLaSmall": build_lola_small,
     "LoLaDense": build_lola_dense,
     "LoLaLarge": build_lola_large,

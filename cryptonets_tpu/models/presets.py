@@ -52,22 +52,37 @@ CONFIGS = {
     "default": dict(  # `IFactory.cs:244-253`
         plain_primes=(40961, 65537, 114689, 147457, 188417), n=4096,
     ),
-    "cryptonets": dict(  # `CryptoNets.cs:17`
+    # CryptoNets, TPU-native plaintext CRT: the reference's two ~39-bit
+    # primes (`CryptoNets.cs:17`, ~78.6-bit capacity) force the host
+    # big-int encode/decode path (no 64-bit integer datapath on TPU) —
+    # measured 24 s of the 8192-image batch is host slot-encode while
+    # ALL on-device compute is ~3 s (scripts/stage_breakdown.py
+    # --network CryptoNets, r5).  Three ~30-bit NTT-friendly primes give
+    # ~90-bit CRT capacity — strictly more than the reference's message
+    # width — with device-side encode/decode and the fused single-launch
+    # pipeline.  Exact integer arithmetic, verified against the Raw
+    # oracle per batch; verbatim-prime config kept as `cryptonets_bigt`.
+    "cryptonets": dict(
+        plain_primes=ntt_primes(8192, 30, 3), n=8192,
+    ),
+    "cryptonets_bigt": dict(  # `CryptoNets.cs:17`
         plain_primes=(549764251649, 549764284417), n=8192,
     ),
     "lola": dict(  # `LoLaCryptonets.cs:208` — needs the full 7-limb data
         # chain for its two squares + plain-mult stages (217 of the 218
-        # security bits at n=8192), so neither special primes NOR P-less
-        # RNS groups fit: ks_alpha=1 costs ~31 bits of key-switch noise
-        # per rotation and measurably EXHAUSTS the budget before the
-        # output layer (decrypt garbage); digit decomposition is used.
-        # Measured final-budget distributions (scripts/noise_sweep.py,
-        # bench_data/noise_sweep_lola*.json): dbc=16 -> 0-5 bits (one
-        # observed exhaustion); dbc=12 -> min 5 / median 7 over 100
-        # seeds; dbc=8 (4 digits/limb) -> min 7 / median 10 over 30
-        # seeds, zero mismatches.  Below dbc=8 the multiplication-noise
-        # floor dominates and further digit narrowing buys <2 bits, so
-        # dbc=8 is the chosen margin/latency point.
+        # security bits at n=8192), so special primes don't fit; digit
+        # decomposition at dbc=8 is used.  Noise depends hard on the
+        # PIPELINE built on this preset:
+        #  * reference packing (`build_lola`/LoLaPacked — the interleave
+        #    mask multiplies and deep rotation trees): dbc=16 -> 0-5
+        #    bits final (one observed exhaustion); dbc=12 -> min 5 /
+        #    median 7 over 100 seeds; dbc=8 -> min 7 / median 10 over
+        #    the committed sweep (scripts/noise_sweep.py,
+        #    bench_data/noise_sweep_lola*.json).  P-less ks_alpha=1
+        #    (~31 bits of key-switch noise per rotation) exhausts it.
+        #  * TPU-native hoisted-BSGS packing (`build_lola_bsgs`, the
+        #    shipped "LoLa"): no mask multiplies, far fewer switch
+        #    accumulations — 46-47 bits of final budget at dbc=8.
         plain_primes=(557057, 638977, 737281, 786433), n=8192, dbc=8,
     ),
     "lola_dense": dict(  # `LoLaCryptonets.cs:123` (SMC 7 of 9 @ 16384)

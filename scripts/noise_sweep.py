@@ -61,7 +61,8 @@ def main():
     if overrides:
         import cryptonets_tpu.models.presets as presets
 
-        name = {"LoLa": "lola", "LoLaSmall": "lola_small",
+        name = {"LoLa": "lola", "LoLaBsgs": "lola", "LoLaPacked": "lola",
+                "LoLaSmall": "lola_small",
                 "LoLaDense": "lola_dense", "LoLaLarge": "lola_large"}[
             args.network]
         base = dict(presets.CONFIGS[name])
