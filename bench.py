@@ -440,6 +440,20 @@ def run_cryptonets_batch(n_batches: int):
     log(f"warmup (compile) batch: {time.time() - t0:.1f}s")
     r0 = raw_logits[0]
     if not np.allclose(dec[: r0.shape[0]], r0, rtol=1e-9):
+        d0 = dec[: r0.shape[0]]
+        bad = ~np.isclose(d0, r0, rtol=1e-9)
+        log(f"MISMATCH: {bad.sum()}/{bad.size} entries differ; "
+            f"first bad rows {sorted(set(np.where(bad)[0][:8].tolist()))}")
+        log(f"enc[0,:5]={d0[0][:5]} raw[0,:5]={r0[0][:5]}")
+        i, j = np.argwhere(bad)[0]
+        log(f"first bad [{i},{j}]: enc={d0[i, j]!r} raw={r0[i, j]!r}")
+        try:
+            from cryptonets_tpu.api.tracker import CryptoTracker
+
+            log(f"budget col0: "
+                f"{CryptoTracker.test_vector_budget(m.get_column(0), warn=False)}")
+        except Exception as e:  # pragma: no cover - diagnostics only
+            log(f"budget probe failed: {e}")
         raise SystemExit("encrypted batch logits disagree with raw oracle")
     log("warmup batch logits match raw oracle exactly")
     agree_n = r0.shape[0]

@@ -48,10 +48,13 @@ class CrtBfvFactory:
         ntt_impl: str | None = None,
         _skip_keygen: bool = False,
     ):
-        if ntt_impl is None:
-            import os as _os
+        # operator override wins over both the caller/preset choice and
+        # the measured default (A/B knob for in-network NTT experiments)
+        import os as _os
 
-            ntt_impl = _os.environ.get("CRYPTONETS_NTT") or None
+        _env_impl = _os.environ.get("CRYPTONETS_NTT")
+        if _env_impl:
+            ntt_impl = _env_impl
         if ntt_impl is None:
             # Pallas fused NTT is bit-exact with butterfly (keys
             # interchangeable).  ISOLATED batched microbenchmarks show
@@ -380,15 +383,24 @@ class CrtBfvFactory:
         if cached is None:
             from ..crypto.bfv import _automorphism_tables_np
 
-            tabs = [_automorphism_tables_np(self.n, g) for g in g_tuple]
-            srcs = jnp.asarray(np.stack([t[0] for t in tabs]))
-            negms = jnp.asarray(np.stack([t[1] for t in tabs]))
-            k0s = jnp.stack(
-                [self.keys.galois[g].k0 for g in g_tuple]
-            )
-            k1s = jnp.stack(
-                [self.keys.galois[g].k1 for g in g_tuple]
-            )
+            # ensure_compile_time_eval: the first call often happens
+            # INSIDE a trace (the sum tree of a jitted forward); the
+            # stacks must be CONCRETE arrays, or the cache would hold
+            # tracers that leak into later traces (measured: the
+            # weak-scaling batch curve's second jit crashed with
+            # UnexpectedTracerError).
+            with jax.ensure_compile_time_eval():
+                tabs = [
+                    _automorphism_tables_np(self.n, g) for g in g_tuple
+                ]
+                srcs = jnp.asarray(np.stack([t[0] for t in tabs]))
+                negms = jnp.asarray(np.stack([t[1] for t in tabs]))
+                k0s = jnp.stack(
+                    [self.keys.galois[g].k0 for g in g_tuple]
+                )
+                k1s = jnp.stack(
+                    [self.keys.galois[g].k1 for g in g_tuple]
+                )
             cached = (srcs, negms, k0s, k1s)
             self._stacked_galois_cache[g_tuple] = cached
         return cached
@@ -405,13 +417,20 @@ class CrtBfvFactory:
 
             bfv0 = self.bfv[0]
             gs = [bfv0.galois_elt_rows(b) for b in range(1, g)]
-            perms = jnp.asarray(
-                np.stack(
-                    [ntt_automorphism_perm(self.n, ge) for ge in gs]
+            # concrete arrays even when first called under a trace (see
+            # stacked_galois)
+            with jax.ensure_compile_time_eval():
+                perms = jnp.asarray(
+                    np.stack(
+                        [ntt_automorphism_perm(self.n, ge) for ge in gs]
+                    )
                 )
-            )
-            k0s = jnp.stack([self.keys.galois[ge].k0 for ge in gs])
-            k1s = jnp.stack([self.keys.galois[ge].k1 for ge in gs])
+                k0s = jnp.stack(
+                    [self.keys.galois[ge].k0 for ge in gs]
+                )
+                k1s = jnp.stack(
+                    [self.keys.galois[ge].k1 for ge in gs]
+                )
             cached = (perms, k0s, k1s)
             self._stacked_galois_cache[key] = cached
         return cached

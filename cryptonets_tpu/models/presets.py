@@ -62,8 +62,14 @@ CONFIGS = {
     # width — with device-side encode/decode and the fused single-launch
     # pipeline.  Exact integer arithmetic, verified against the Raw
     # oracle per batch; verbatim-prime config kept as `cryptonets_bigt`.
+    # ntt_impl="butterfly": at CryptoNets' batch shapes (835-column
+    # stacks) the XLA butterfly pipeline is both faster AND the pallas
+    # kernel mis-addresses on real TPU above ~2^31 bytes per transform
+    # call (driver-gated: butterfly run exact 8192/8192, pallas run
+    # failed the raw gate; see kernels/pallas_ntt.py guard).
     "cryptonets": dict(
         plain_primes=ntt_primes(8192, 30, 3), n=8192,
+        ntt_impl="butterfly",
     ),
     "cryptonets_bigt": dict(  # `CryptoNets.cs:17`
         plain_primes=(549764251649, 549764284417), n=8192,
