@@ -286,8 +286,6 @@ def run_vmap_throughput(network: str, B: int, n_launches: int):
     import jax
     import jax.numpy as jnp
 
-    from cryptonets_tpu.api.matrix import HEMatrix
-    from cryptonets_tpu.api.vector import HEVector
     from cryptonets_tpu.nn.jit import EncryptedForward
     from cryptonets_tpu.utils.hoist import hoist_jit
 
@@ -301,41 +299,25 @@ def run_vmap_throughput(network: str, B: int, n_launches: int):
     )
 
     fwd = EncryptedForward(head, jit=False)
-    # host side: scaled-int slot buffers per record (cheap index math)
+    # host side: scaled-int slot buffers per record (cheap index math),
+    # device side: the SAME fused single-record body the fuse_io path
+    # compiles (nn/jit.py fused_record_fn), vmapped over records
     bufs_list, metas = [], None
     while True:
         raw = fwd.reader.get_next()
         if raw is None:
             break
-        vecs = np.asarray(raw.m, dtype=np.float64).T  # [V, dim]
-        V, dim = vecs.shape
-        C = max(1, -(-dim // fac.n))
-        padded = np.zeros((V, C * fac.n), np.int64)
-        padded[:, :dim] = np.round(vecs).astype(np.int64)
-        bufs_list.append(fac.encode_bufs(padded.reshape(V * C, fac.n)))
-        metas = (V, C, dim, float(raw.scale))
+        buf, metas = fwd.slot_bufs(raw)
+        bufs_list.append(buf)
     V, C, dim, scale = metas
     bufs = jnp.stack(bufs_list)  # [B, P, V*C, n]
     rngs = jax.random.split(fac.fresh_key(), B)
-    capture = {}
+    fused_record, capture = fwd.fused_record_fn(V, C, dim, scale)
 
-    def fused_record(buf, rng):
-        data = fac._encrypt_all_dev(buf, rng)
-        data = data.reshape(fac.P, V, C, *data.shape[2:])
-        vecs = [
-            HEVector(fac, data=data[:, i], dim=dim, scale=scale,
-                     fmt="dense")
-            for i in range(V)
-        ]
-        m = HEMatrix(fac, vecs, "col")
-        for layer in fwd.layers:
-            m = layer.apply(m)
-        capture["meta"] = [
-            (v.dim, v.scale, v.fmt, v.is_signed) for v in m.vectors
-        ]
-        return [fac._decrypt_decode_all(v.data) for v in m.vectors]
+    def fused_slots(buf, rng):
+        return fused_record(buf, rng)[1]
 
-    vfused = hoist_jit(jax.vmap(fused_record))
+    vfused = hoist_jit(jax.vmap(fused_slots))
 
     STATE["phase"] = "warmup-compile"
     t0 = time.time()

@@ -146,6 +146,26 @@ def _encode_diag_chunk(fac, tbl_a):
     return jnp.stack(per).reshape(fac.P, g, F, k, n)
 
 
+def hoist_eligible(fac, g: int) -> bool:
+    """True when bsgs_matvec will run HOISTED baby steps: per-step
+    Galois keys present, a key-switch mode whose switched result stays
+    in the NTT domain (digit, or P-less RNS groups), and an NTT
+    implementation with the Longa-Naehrig evaluation ordering —
+    `ntt_automorphism_perm` encodes THAT ordering, so the 'matmul'
+    impl's own 4-step ordering must take the chained fallback."""
+    bfv0 = fac.bfv[0]
+    p = bfv0.p
+    return (
+        g > 1
+        and (not p.ks_hybrid or p.n_special == 0)
+        and p.ntt_impl in ("butterfly", "pallas", "hybrid")
+        and all(
+            bfv0.galois_elt_rows(b) in fac.keys.galois
+            for b in range(1, g)
+        )
+    )
+
+
 def _hoisted_babies_hat(fac, ub, g):
     """HOISTED baby rotations, all in the NTT domain (Halevi-Shoup
     hoisting adapted to digit key switching): digit-decompose + NTT the
@@ -244,17 +264,10 @@ def bsgs_matvec(form: BsgsDenseForm, data):
     else:
         ub = u[:, None]
 
-    # ---- baby steps: rot_b(u) for b < g.  HOISTED when the factory has
-    # a Galois key for every step 1..g-1 and the chain uses digit key
-    # switching: one shared decomposition + per-step NTT-domain gathers
-    # (zero NTTs per baby).  Otherwise the incremental single-hop chain.
-    hoist = (
-        g > 1
-        and (not p.ks_hybrid or p.n_special == 0)
-        and all(
-            bfv0.galois_elt_rows(b) in keys.galois for b in range(1, g)
-        )
-    )
+    # ---- baby steps: rot_b(u) for b < g.  HOISTED when eligible (see
+    # hoist_eligible): one shared decomposition + per-step NTT-domain
+    # gathers (zero NTTs per baby).  Otherwise the single-hop chain.
+    hoist = hoist_eligible(fac, g)
     if hoist:
         OPS.count("rotation", F * (g - 1))
         bab_hat = _hoisted_babies_hat(fac, ub, g)         # [P, g, F, 2, k, N]

@@ -310,14 +310,15 @@ def build_lola_bsgs(encrypt: bool, records=None, file_name=None,
 
     Extra single-hop Galois keys beyond the baby ladder: the Vectorize
     interleave strides (rotate-right by 169*k for the 5 conv maps) and
-    the sparse-support BSGS giant hops (3200 = 64*(63-13) for the
-    middle layer's wrap-around diagonals, 3968 = 32*(127-3) for the
-    head), so no rotation in the network falls back to pow2
+    the sparse-support BSGS giant hops (3136 = 64*(62-13): the middle
+    layer's wrap-around diagonals span giant indices 62-63 since the
+    negative displacements reach -(R-1) = -99; 3968 = 32*(127-3) for
+    the head), so no rotation in the network falls back to pow2
     composition."""
     factory = make_factory(
         "lola", encrypt, seed,
         rot_steps=tuple(range(1, 64))
-        + (-169, -338, -507, -676, 3200, 3968),
+        + (-169, -338, -507, -676, 3136, 3968),
         ks_alpha=1,
     )
     W = _load_cryptonets_weights()

@@ -63,10 +63,14 @@ CONFIGS = {
     # pipeline.  Exact integer arithmetic, verified against the Raw
     # oracle per batch; verbatim-prime config kept as `cryptonets_bigt`.
     # ntt_impl="butterfly": at CryptoNets' batch shapes (835-column
-    # stacks) the XLA butterfly pipeline is both faster AND the pallas
-    # kernel mis-addresses on real TPU above ~2^31 bytes per transform
-    # call (driver-gated: butterfly run exact 8192/8192, pallas run
-    # failed the raw gate; see kernels/pallas_ntt.py guard).
+    # stacks) the XLA butterfly pipeline is both faster AND correct on
+    # real TPU, while the pallas-based run of the identical program
+    # failed the raw-agreement gate (all entries corrupt) — the SAME
+    # program is exact on CPU and every isolated pallas repro up to
+    # 1.1 GiB operands is bit-exact, so the cause (some interaction
+    # inside the giant fused program) is unresolved; see CLAUDE.md for
+    # the repro command.  bench.py's exact-oracle gate catches any
+    # affected config before a latency is ever reported.
     "cryptonets": dict(
         plain_primes=ntt_primes(8192, 30, 3), n=8192,
         ntt_impl="butterfly",

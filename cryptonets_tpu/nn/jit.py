@@ -112,9 +112,30 @@ class EncryptedForward:
         return HEMatrix(fac, vecs, self._capture["fmt"])
 
     # ------------------------------------------------- fused one-launch path
-    def _build_fused(self, V: int, C: int, dim: int, scale: float):
+    def slot_bufs(self, raw):
+        """Host side of the fused pipeline: RawMatrix -> (index-mapped
+        slot buffers [P, V*C, n], (V, C, dim, scale)).  Shared by the
+        single-record path and bench.py's BENCH_VMAP record batching."""
+        import numpy as np
+
         fac = self.encrypt_layer.factory
-        capture = {}
+        vecs = np.asarray(raw.m, dtype=np.float64).T  # [V, dim] scaled ints
+        V, dim = vecs.shape
+        C = max(1, -(-dim // fac.n))
+        padded = np.zeros((V, C * fac.n), np.int64)
+        padded[:, :dim] = np.round(vecs).astype(np.int64)
+        bufs = fac.encode_bufs(padded.reshape(V * C, fac.n))
+        return bufs, (V, C, dim, float(raw.scale))
+
+    def fused_record_fn(self, V: int, C: int, dim: int, scale: float,
+                        capture: dict | None = None):
+        """Traceable single-record fused forward: fn(bufs, rng) ->
+        (output ct datas, decoded slot tensors).  Device slot encode +
+        RLWE encrypt + network + gamma decrypt + slot decode in one
+        traced body; vmap it for record batching."""
+        fac = self.encrypt_layer.factory
+        if capture is None:
+            capture = {}
 
         def forward(bufs, rng):
             # bufs: [P, V*C, n] index-mapped slot residues
@@ -138,24 +159,21 @@ class EncryptedForward:
                 [fac._decrypt_decode_all(v.data) for v in m.vectors],
             )
 
+        return forward, capture
+
+    def _build_fused(self, V: int, C: int, dim: int, scale: float):
+        forward, capture = self.fused_record_fn(V, C, dim, scale)
         self._in_meta = ("fused", V, C, dim, scale)
         self._capture = capture
         self._jitted = hoist_jit(forward)
 
     def _run_fused(self, raw) -> HEMatrix:
         fac = self.encrypt_layer.factory
-        import numpy as np
 
-        vecs = np.asarray(raw.m, dtype=np.float64).T  # [V, dim] scaled ints
-        V, dim = vecs.shape
-        n = fac.n
-        C = max(1, -(-dim // n))
-        key = ("fused", V, C, dim, float(raw.scale))
+        bufs, (V, C, dim, scale) = self.slot_bufs(raw)
+        key = ("fused", V, C, dim, scale)
         if self._jitted is None or self._in_meta != key:
-            self._build_fused(V, C, dim, float(raw.scale))
-        padded = np.zeros((V, C * n), np.int64)
-        padded[:, :dim] = np.round(vecs).astype(np.int64)
-        bufs = fac.encode_bufs(padded.reshape(V * C, n))
+            self._build_fused(V, C, dim, scale)
         out_datas, out_slots = self._jitted(bufs, fac.fresh_key())
         out_vecs = []
         for d, s, (vdim, vsc, vf, vsg) in zip(

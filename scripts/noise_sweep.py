@@ -61,7 +61,19 @@ def main():
     if overrides:
         import cryptonets_tpu.models.presets as presets
 
-        name = {"LoLa": "lola", "LoLaBsgs": "lola", "LoLaPacked": "lola",
+        if args.network in ("LoLa", "LoLaBsgs"):
+            # BUILDERS['LoLa'] is now the BSGS pipeline, which passes
+            # ks_alpha=1 explicitly to make_factory — builder kwargs
+            # beat CONFIGS edits, so a --dbc override would be INERT
+            # (hybrid KS ignores dbc) and the sweep would silently
+            # measure nothing.  Digit-width sweeps belong to the
+            # reference packing.
+            sys.exit(
+                "--dbc is inert for the BSGS 'LoLa' pipeline "
+                "(P-less RNS key switching); sweep --network "
+                "LoLaPacked for digit-width characterization"
+            )
+        name = {"LoLaPacked": "lola",
                 "LoLaSmall": "lola_small",
                 "LoLaDense": "lola_dense", "LoLaLarge": "lola_large"}[
             args.network]

@@ -127,8 +127,9 @@ def fac_hoist_alpha():
 
 
 def _run_g(fac, R, D, g, seed, expect_hoist):
-    from cryptonets_tpu.utils.opcount import OPS
+    from cryptonets_tpu.api.bsgs import hoist_eligible
 
+    assert hoist_eligible(fac, g) == expect_hoist
     rng = np.random.default_rng(seed)
     W = rng.integers(-8, 9, size=(R, D)).astype(np.int64)
     v = rng.integers(-5, 6, size=D).astype(np.int64)

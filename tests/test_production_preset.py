@@ -96,3 +96,35 @@ def test_cifar_production_preset():
     n = min(len(enc), len(raw), 10)
     np.testing.assert_allclose(enc[:n], raw[:n], rtol=1e-9)
     assert budget is not None and budget > 0, budget
+
+
+@pytest.mark.slow
+def test_lola_bsgs_production_preset():
+    """The SHIPPED flagship pipeline (BUILDERS['LoLa'] =
+    build_lola_bsgs): hoisted-BSGS dense layers over P-less RNS-group
+    key switching (ks_alpha=1) with per-step Galois keys — the exact
+    configuration bench.py times (0.317 s driver median, r5).  Guards
+    the hoist gate, the rot_steps ladder and the ks_alpha noise margin
+    against regressions that 'LoLaPacked'-only coverage would miss."""
+    from cryptonets_tpu.models import lola_mnist
+
+    recs = synthetic_mnist_records(1, seed=24)
+    rh, _, _ = lola_mnist.build_lola_bsgs(
+        False, records=[(l, f.copy()) for l, f in recs]
+    )
+    rh.prepare_network()
+    raw = np.asarray(rh.get_next().get_column(0).decrypt(), float)
+    head, fac, _ = lola_mnist.build_lola_bsgs(True, records=recs)
+    # the hoisted baby path must actually be engaged for both layers
+    from cryptonets_tpu.api.bsgs import hoist_eligible as _he
+
+    assert _he(fac, 64) and _he(fac, 32)
+    head.prepare_network()
+    col = head.get_next().get_column(0)
+    enc = np.asarray(col.decrypt(), float)
+    n = min(len(enc), len(raw), 10)
+    np.testing.assert_allclose(enc[:n], raw[:n], rtol=1e-9)
+    budget = CryptoTracker.test_vector_budget(col, warn=False)
+    # the BSGS pipeline's whole point: a healthy margin (30 bits on the
+    # TPU driver bench; leave slack for seed variance)
+    assert budget is not None and budget >= 15, budget
